@@ -1,0 +1,168 @@
+"""Benchmark harness.
+
+Measures Stage-B training throughput (the propagation-dominated BPR train
+step) on a synthetic Amazon-class bipartite graph and prints ONE JSON line:
+
+    {"metric": "train_edges_per_sec_per_chip", "value": ..., "unit":
+     "edges/s", "vs_baseline": ...}
+
+"value" counts propagation edge-traversals per wall-clock second for the
+full jitted train step (sampling + K-layer propagation + BPR backward +
+Adam) on one chip with the Pallas segment-sum SpMM backend.
+
+"vs_baseline": the reference publishes no throughput numbers (SURVEY.md §6),
+so the baseline is the same train step with the portable XLA
+gather/scatter segment-sum backend — i.e. the speedup the custom TPU kernel
+delivers over what stock XLA does with the same graph.
+
+Usage: python bench.py [--scale ref|small|large] [--backend pallas|xla]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_graph(scale: str):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+        synthetic_bipartite_graph)
+    if scale == "small":
+        return synthetic_bipartite_graph(2_000, 3_000, 16.0, seed=0, power=0.9)
+    if scale == "ref":
+        # reference dataset scale: 58.9K users / 262K items / ~464K edges
+        return synthetic_bipartite_graph(58_867, 261_728, 7.9, seed=0, power=1.0)
+    if scale == "large":
+        # north-star class: multi-million-edge graph
+        return synthetic_bipartite_graph(500_000, 1_000_000, 20.0, seed=0,
+                                         power=1.0)
+    raise ValueError(scale)
+
+
+def make_step(graph, backend: str, emb_dim: int, num_layers: int,
+              batch_size: int, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.models import losses
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.models.lightgcn import (
+        LightGCN, ego_tables, init_params)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops.sampling import (
+        DeviceCSR, sample_negatives_uniform, sample_positives)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
+        RecConfig)
+
+    cfg = RecConfig(name="bench", propagation="gauss_seidel",
+                    weight_mode="cu_message", table_layout="split",
+                    emb_dim=emb_dim, num_layers=num_layers,
+                    batch_size=batch_size, spmm_backend=backend)
+    cred = np.random.default_rng(seed).uniform(0.2, 1.0,
+                                               graph.num_users).astype(np.float32)
+    model = LightGCN(cfg, graph, cred)
+    params = init_params(jax.random.PRNGKey(seed), cfg, graph.num_users,
+                         graph.num_items)
+    optimizer = optax.adam(cfg.lr)
+    opt_state = optimizer.init(params)
+    train_csr = DeviceCSR.from_host(graph.user_csr("train"), graph.num_items)
+    train_users = np.nonzero(graph.user_csr("train").degrees() > 0)[0]
+    users_pool = jnp.asarray(
+        np.resize(train_users, batch_size).astype(np.int32))
+
+    def step(params, opt_state, key):
+        key, ks = jax.random.split(key)
+        users = users_pool
+        kp, kn = jax.random.split(ks)
+        pos = sample_positives(kp, train_csr, users)
+        neg = sample_negatives_uniform(kn, train_csr, users, graph.num_items,
+                                       rounds=4)
+
+        def loss_fn(params):
+            ue, ie = model.propagate(params)
+            pos_s = LightGCN.score(ue, ie, users, pos)
+            neg_s = LightGCN.score(ue, ie, users, neg)
+            l = losses.bpr_loss(pos_s, neg_s)
+            eu, ei = ego_tables(params, graph.num_users)
+            return l + cfg.reg * losses.ego_l2(eu[users], ei[pos], ei[neg])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, key, loss
+
+    return jax.jit(step, donate_argnums=(0, 1)), params, opt_state, cfg
+
+
+def time_step(step, params, opt_state, iters: int, warmup: int = 3):
+    import jax
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, float(loss)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="ref", choices=["small", "ref", "large"])
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--baseline-backend", default="xla")
+    ap.add_argument("--emb-dim", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    platform = jax.devices()[0].platform
+    log(f"[bench] platform={platform} device={jax.devices()[0]}")
+    backend = args.backend
+    if platform != "tpu" and backend == "pallas":
+        log("[bench] no TPU: falling back to xla backend (pallas interpret "
+            "mode is not a performance path)")
+        backend = "xla"
+
+    graph = build_graph(args.scale)
+    E = graph.train_edges.shape[1]
+    log(f"[bench] graph: {graph.summary()}")
+    # edge traversals per step: K layers x 2 directions x (fwd + bwd)
+    edges_per_step = E * args.layers * 2 * 2
+
+    step, params, opt_state, cfg = make_step(graph, backend, args.emb_dim,
+                                             args.layers, args.batch)
+    dt, loss = time_step(step, params, opt_state, args.iters)
+    log(f"[bench] {backend}: {dt*1e3:.3f} ms/step loss={loss:.4f}")
+    value = edges_per_step / dt
+
+    vs_baseline = 1.0
+    if backend != args.baseline_backend:
+        bstep, bparams, bopt, _ = make_step(graph, args.baseline_backend,
+                                            args.emb_dim, args.layers,
+                                            args.batch)
+        bdt, bloss = time_step(bstep, bparams, bopt, max(args.iters // 2, 5))
+        log(f"[bench] {args.baseline_backend}: {bdt*1e3:.3f} ms/step "
+            f"loss={bloss:.4f}")
+        vs_baseline = bdt / dt
+
+    print(json.dumps({
+        "metric": "train_edges_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Config presets: one per reference script (BASELINE.json `configs`).
+
+| preset          | reference script                                      |
+|-----------------|-------------------------------------------------------|
+| vanilla         | lightgcn.py (400 ep) / lightgcn-1.py (200 ep)         |
+| cred_eq322      | lightgcn_cu.py (Eq 3.22-3.28, sync bipartite, fair)   |
+| cu_message      | version_1/lightgcn_cu_message.py (Gauss-Seidel)       |
+| degree_aware    | version_1/lightgcn_cu_pop_Degree-Aware Message.py     |
+| pop_neg         | version_1/lightgcn_cu_pop_method-e.py (Method E)      |
+| pop_extended    | Version-2/lighgcn_cu_pop.py (Method E + extended eval)|
+| scaled_10m      | north-star 10M+-edge multi-host config (BASELINE.json)|
+"""
+
+from __future__ import annotations
+
+from ..utils.config import RecConfig
+
+PRESETS = {}
+
+
+def _register(cfg: RecConfig) -> RecConfig:
+    PRESETS[cfg.name] = cfg
+    return cfg
+
+
+vanilla = _register(RecConfig(
+    name="vanilla",
+    propagation="symmetric", weight_mode="symmetric", table_layout="joint",
+    epochs=400,
+))
+
+vanilla_200 = _register(RecConfig(
+    name="vanilla_200",
+    propagation="symmetric", weight_mode="symmetric", table_layout="joint",
+    epochs=200,
+))
+
+cred_eq322 = _register(RecConfig(
+    name="cred_eq322",
+    propagation="bipartite_sync", weight_mode="cred_eq322",
+    table_layout="split", lambda_fair=0.0,  # lightgcn_cu.py:61 default
+    epochs=400,
+))
+
+cred_eq322_fair = _register(RecConfig(
+    name="cred_eq322_fair",
+    propagation="bipartite_sync", weight_mode="cred_eq322",
+    table_layout="split", lambda_fair=1e-2,  # "set e.g. 1e-2 to enable"
+    epochs=400,
+))
+
+cu_message = _register(RecConfig(
+    name="cu_message",
+    propagation="gauss_seidel", weight_mode="cu_message",
+    table_layout="split", epochs=400,
+))
+
+degree_aware = _register(RecConfig(
+    name="degree_aware",
+    propagation="gauss_seidel", weight_mode="degree_aware",
+    table_layout="split", epochs=400,
+))
+
+pop_neg = _register(RecConfig(
+    name="pop_neg",
+    propagation="gauss_seidel", weight_mode="cu_message",
+    table_layout="split", negative_sampler="popmix",
+    neg_mix_pop=0.7, neg_pop_gamma=0.75, epochs=400,
+))
+
+pop_extended = _register(RecConfig(
+    name="pop_extended",
+    propagation="gauss_seidel", weight_mode="cu_message",
+    table_layout="split", negative_sampler="popmix",
+    neg_mix_pop=0.7, neg_pop_gamma=0.75, epochs=400,
+    extended_metrics=True, cred_group_pct=0.20,
+))
+
+scaled_10m = _register(RecConfig(
+    name="scaled_10m",
+    propagation="gauss_seidel", weight_mode="cu_message",
+    table_layout="split", negative_sampler="popmix",
+    emb_dim=128, num_layers=4, batch_size=8192, epochs=50,
+    eval_mode="full", propagation_schedule="per_epoch",
+    spmm_backend="auto",
+))
+
+
+def get_preset(name: str, **overrides) -> RecConfig:
+    if name not in PRESETS:
+        raise KeyError(f"Unknown preset {name!r}; available: {sorted(PRESETS)}")
+    cfg = PRESETS[name]
+    return cfg.replace(**overrides) if overrides else cfg

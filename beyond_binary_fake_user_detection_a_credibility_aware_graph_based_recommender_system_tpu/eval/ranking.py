@@ -1,0 +1,248 @@
+"""Ranking evaluators (sampled and full-catalog), batched on device.
+
+The reference evaluates one user at a time in Python with a GPU->CPU sync
+per user (/root/reference/lightgcn.py:397-509) — SURVEY.md §3.5 hot loop #3.
+Here evaluation runs in fixed-size user batches: candidate rejection
+sampling, scoring, ranking, and metric reduction all happen on device; the
+host only accumulates scalar sums (and the coverage set for the extended
+metrics).
+
+Protocol parity:
+  * eval users = users with >=1 interaction in the eval split
+    (lightgcn.py:408).
+  * sampled mode: 1 random positive from the user's eval row + 99 uniform
+    negatives rejected against the user's full eval ground-truth set AND
+    train items (lightgcn.py:415-430); a dedicated eval PRNG stream mirrors
+    the reference's ``seed+999`` generator (lightgcn.py:406).
+  * full mode: all-item scores with the user's train items masked to -1e9
+    (lightgcn.py:477-490), top-K ranking.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.build import BipartiteGraph
+from ..ops.sampling import (DeviceCSR, row_contains, sample_candidate_set,
+                            sample_positives)
+from .metrics import (cred_groups, item_popularity, novelty_stats,
+                      sampled_rank_metrics, topk_metrics)
+
+
+@dataclass
+class EvalContext:
+    """Device-resident evaluation state for one graph."""
+    graph: BipartiteGraph
+    train_csr: DeviceCSR
+    val_csr: DeviceCSR
+    test_csr: DeviceCSR
+    train_padded_rows: jax.Array      # (U, Pmax) train items, pad = num_items
+    item_pop: np.ndarray              # (I,) int64 train popularity
+    total_train: int
+    eval_users: Dict[str, np.ndarray] = field(default_factory=dict)
+
+    @classmethod
+    def build(cls, graph: BipartiteGraph) -> "EvalContext":
+        I = graph.num_items
+        tr = graph.user_csr("train")
+        va = graph.user_csr("val")
+        te = graph.user_csr("test")
+        deg = tr.degrees()
+        pmax = max(int(deg.max()) if deg.size else 1, 1)
+        padded = np.full((graph.num_users, pmax), I, dtype=np.int32)
+        for u in np.nonzero(deg)[0]:
+            row = tr.row(u)
+            padded[u, :row.size] = row
+        pop, total = item_popularity(graph.train_edges, I)
+        ctx = cls(
+            graph=graph,
+            train_csr=DeviceCSR.from_host(tr, I),
+            val_csr=DeviceCSR.from_host(va, I),
+            test_csr=DeviceCSR.from_host(te, I),
+            train_padded_rows=jnp.asarray(padded),
+            item_pop=pop,
+            total_train=total,
+        )
+        ctx.eval_users = {
+            "val": np.nonzero(va.degrees() > 0)[0].astype(np.int64),
+            "test": np.nonzero(te.degrees() > 0)[0].astype(np.int64),
+        }
+        return ctx
+
+    def split_csr(self, split: str) -> DeviceCSR:
+        return {"train": self.train_csr, "val": self.val_csr,
+                "test": self.test_csr}[split]
+
+
+def _batched(users: np.ndarray, batch: int):
+    """Yield (padded_batch, num_valid)."""
+    for s in range(0, users.size, batch):
+        chunk = users[s:s + batch]
+        n = chunk.size
+        if n < batch:
+            chunk = np.concatenate([chunk, np.zeros(batch - n, np.int64)])
+        yield jnp.asarray(chunk, jnp.int32), n
+
+
+@functools.partial(jax.jit, static_argnames=("num_items", "n_neg"))
+def _sampled_batch(key, user_emb, item_emb, users, eval_csr: DeviceCSR,
+                   train_csr: DeviceCSR, num_items: int, n_neg: int):
+    kpos, kneg = jax.random.split(key)
+    pos = sample_positives(kpos, eval_csr, users)
+    negs = sample_candidate_set(kneg, (eval_csr, train_csr), users,
+                                num_items, n_neg)
+    cand = jnp.concatenate([pos[:, None], negs], axis=1)        # (B, 1+n)
+    scores = jnp.einsum("bd,bkd->bk", user_emb[users], item_emb[cand])
+    rank = jnp.sum(scores[:, 1:] > scores[:, :1], axis=1)
+    order = jnp.argsort(-scores, axis=1, stable=True)
+    ranked = jnp.take_along_axis(cand, order, axis=1)
+    return rank, ranked
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def _full_batch(user_emb, item_emb, users, train_padded_rows,
+                test_csr: DeviceCSR, k_max: int):
+    scores = user_emb[users] @ item_emb.T                       # (B, I)
+    pad = jnp.zeros((scores.shape[0], 1), scores.dtype)
+    ext = jnp.concatenate([scores, pad], axis=1)
+    rows = jnp.arange(scores.shape[0])[:, None]
+    ext = ext.at[rows, train_padded_rows[users]].set(-1e9)
+    scores = ext[:, :-1]
+    _, topk_items = jax.lax.top_k(scores, k_max)
+    hits = row_contains(test_csr, users, topk_items)
+    gt_len = test_csr.indptr[users + 1] - test_csr.indptr[users]
+    return topk_items, hits, gt_len
+
+
+class _Accumulator:
+    """Host-side metric accumulation over user batches."""
+
+    def __init__(self, Ks: Sequence[int], extended: bool):
+        self.Ks = list(Ks)
+        self.extended = extended
+        self.sums = {K: {} for K in self.Ks}
+        self.rec_items = {K: set() for K in self.Ks} if extended else None
+        self.per_user_recall = {K: [] for K in self.Ks}
+        self.n_users = 0
+
+    def add(self, per_user: Dict[int, Dict[str, jax.Array]], n_valid: int,
+            ranked_items: Optional[np.ndarray] = None,
+            logpop: Optional[Dict[int, np.ndarray]] = None,
+            selfinfo: Optional[Dict[int, np.ndarray]] = None):
+        self.n_users += n_valid
+        for K in self.Ks:
+            for name, arr in per_user[K].items():
+                a = np.asarray(arr)[:n_valid]
+                self.sums[K][name] = self.sums[K].get(name, 0.0) + float(a.sum())
+            self.per_user_recall[K].append(
+                np.asarray(per_user[K]["recall"])[:n_valid])
+            if self.extended and ranked_items is not None:
+                self.rec_items[K].update(
+                    np.unique(ranked_items[:n_valid, :K]).tolist())
+                self.sums[K]["logpop"] = self.sums[K].get("logpop", 0.0) + float(
+                    logpop[K][:n_valid].sum())
+                self.sums[K]["selfinfo"] = self.sums[K].get("selfinfo", 0.0) + float(
+                    selfinfo[K][:n_valid].sum())
+
+    def results(self, mode: str, num_items: int, users: np.ndarray,
+                cred: Optional[np.ndarray], cred_group_pct: float,
+                n_negatives: Optional[int]) -> Dict[int, Dict[str, float]]:
+        n = max(self.n_users, 1)
+        out = {}
+        high = low = None
+        if self.extended and cred is not None:
+            high, low = cred_groups(users, cred, cred_group_pct)
+        for K in self.Ks:
+            r = {name: s / n for name, s in self.sums[K].items()
+                 if name not in ("logpop", "selfinfo")}
+            r["users_eval"] = self.n_users
+            r["mode"] = mode
+            if n_negatives is not None:
+                r["negatives"] = n_negatives
+            if self.extended:
+                recall_u = np.concatenate(self.per_user_recall[K]) \
+                    if self.per_user_recall[K] else np.zeros(0)
+                r["item_coverage"] = len(self.rec_items[K]) / max(num_items, 1)
+                r["avg_log_popularity"] = self.sums[K].get("logpop", 0.0) / n
+                r["avg_self_information"] = self.sums[K].get("selfinfo", 0.0) / n
+                if cred is not None:
+                    r["cred_utility"] = float(np.mean(cred[users])) if users.size else 0.0
+                    pos_of = {int(u): k for k, u in enumerate(users)}
+                    hi_idx = [pos_of[int(u)] for u in high]
+                    lo_idx = [pos_of[int(u)] for u in low]
+                    r["high_cred_recall"] = float(recall_u[hi_idx].mean()) if hi_idx else 0.0
+                    r["low_cred_recall"] = float(recall_u[lo_idx].mean()) if lo_idx else 0.0
+                    r["high_users"] = len(hi_idx)
+                    r["low_users"] = len(lo_idx)
+            out[K] = r
+        return out
+
+
+def evaluate_sampled(key: jax.Array, user_emb: jax.Array, item_emb: jax.Array,
+                     ctx: EvalContext, split: str, Ks: Sequence[int] = (10, 20),
+                     n_negatives: int = 99, batch: int = 4096,
+                     extended: bool = False,
+                     cred: Optional[np.ndarray] = None,
+                     cred_group_pct: float = 0.20) -> Dict[int, Dict[str, float]]:
+    users = ctx.eval_users[split] if split in ctx.eval_users else \
+        np.nonzero(ctx.graph.user_csr(split).degrees() > 0)[0]
+    if users.size == 0:
+        raise RuntimeError(f"No users with {split} interactions.")
+    eval_csr = ctx.split_csr(split)
+    acc = _Accumulator(Ks, extended)
+    k_cov = max(Ks)
+    for bu, n_valid in _batched(users, batch):
+        key, kb = jax.random.split(key)
+        rank, ranked = _sampled_batch(kb, user_emb, item_emb, bu, eval_csr,
+                                      ctx.train_csr, ctx.graph.num_items,
+                                      n_negatives)
+        per_user = sampled_rank_metrics(rank, Ks)
+        logpop = selfinfo = None
+        ranked_np = None
+        if extended:
+            ranked_np = np.asarray(ranked)
+            pop_dev = jnp.asarray(ctx.item_pop)
+            logpop, selfinfo = {}, {}
+            for K in Ks:
+                lp, si = novelty_stats(ranked[:, :K], pop_dev,
+                                       ctx.total_train, ctx.graph.num_items)
+                logpop[K], selfinfo[K] = np.asarray(lp), np.asarray(si)
+        acc.add(per_user, n_valid, ranked_np, logpop, selfinfo)
+    return acc.results("sampled(1pos+neg)", ctx.graph.num_items, users, cred,
+                       cred_group_pct, n_negatives)
+
+
+def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
+                  split: str, Ks: Sequence[int] = (10, 20), batch: int = 512,
+                  extended: bool = False, cred: Optional[np.ndarray] = None,
+                  cred_group_pct: float = 0.20) -> Dict[int, Dict[str, float]]:
+    users = ctx.eval_users[split] if split in ctx.eval_users else \
+        np.nonzero(ctx.graph.user_csr(split).degrees() > 0)[0]
+    if users.size == 0:
+        raise RuntimeError(f"No users with {split} interactions.")
+    eval_csr = ctx.split_csr(split)
+    acc = _Accumulator(Ks, extended)
+    k_max = max(Ks)
+    for bu, n_valid in _batched(users, batch):
+        topk_items, hits, gt_len = _full_batch(
+            user_emb, item_emb, bu, ctx.train_padded_rows, eval_csr, k_max)
+        per_user = topk_metrics(hits, gt_len, Ks)
+        logpop = selfinfo = None
+        topk_np = None
+        if extended:
+            topk_np = np.asarray(topk_items)
+            pop_dev = jnp.asarray(ctx.item_pop)
+            logpop, selfinfo = {}, {}
+            for K in Ks:
+                lp, si = novelty_stats(topk_items[:, :K], pop_dev,
+                                       ctx.total_train, ctx.graph.num_items)
+                logpop[K], selfinfo[K] = np.asarray(lp), np.asarray(si)
+        acc.add(per_user, n_valid, topk_np, logpop, selfinfo)
+    return acc.results("full", ctx.graph.num_items, users, cred,
+                       cred_group_pct, None)

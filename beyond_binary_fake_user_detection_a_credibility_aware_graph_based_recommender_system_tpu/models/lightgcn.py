@@ -1,0 +1,138 @@
+"""LightGCN model family (Stage B).
+
+Covers all reference variants with one parameterized module
+(SURVEY.md C20–C22):
+
+  * vanilla joint-adjacency LightGCN          /root/reference/lightgcn.py:306-349
+  * CredLightGCN, synchronous (Jacobi) bipartite updates, Eq 3.22–3.26
+                                              /root/reference/lightgcn_cu.py:405-463
+  * cred-in-message Gauss-Seidel bipartite updates
+                                /root/reference/version_1/lightgcn_cu_message.py:391-452
+
+Parity-critical semantics preserved exactly:
+  * "bipartite_sync": e_i^{k+1} = A_iu e_u^k and e_u^{k+1} = A_ui e_i^k —
+    the user update consumes the *previous* item layer
+    (lightgcn_cu.py:429-439 uses ``is_[-1]``).
+  * "gauss_seidel": e_i^{k+1} = A_iu e_u^k then e_u^{k+1} = A_ui e_i^{k+1} —
+    the user update consumes the *fresh* item layer (2-hop per round;
+    lightgcn_cu_message.py:421-423).
+  * final embeddings are the mean over layers 0..K (inclusive of layer 0).
+  * Xavier-uniform init matches torch's fan convention on an (N, D) table:
+    limit = sqrt(6 / (N + D)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.build import BipartiteGraph
+from ..graph.operators import EdgeMap, build_edge_maps
+from ..ops.spmm import SpmmOperator
+from ..utils.config import RecConfig
+
+Params = Dict[str, jax.Array]
+
+
+def xavier_uniform(key: jax.Array, shape: Tuple[int, int],
+                   dtype=jnp.float32) -> jax.Array:
+    """torch.nn.init.xavier_uniform_ on a 2-D (fan_out, fan_in) tensor."""
+    fan_out, fan_in = shape
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def init_params(key: jax.Array, cfg: RecConfig, num_users: int,
+                num_items: int) -> Params:
+    """"joint" = one (U+I, D) table (lightgcn.py:315);
+    "split" = separate user/item tables (lightgcn_cu.py:415-418)."""
+    if cfg.table_layout == "joint":
+        return {"emb": xavier_uniform(key, (num_users + num_items, cfg.emb_dim))}
+    ku, ki = jax.random.split(key)
+    return {"user_emb": xavier_uniform(ku, (num_users, cfg.emb_dim)),
+            "item_emb": xavier_uniform(ki, (num_items, cfg.emb_dim))}
+
+
+def ego_tables(params: Params, num_users: int) -> Tuple[jax.Array, jax.Array]:
+    """Layer-0 (ego) user/item tables regardless of layout — the L2
+    regularizer acts on these (lightgcn.py:341-348)."""
+    if "emb" in params:
+        return params["emb"][:num_users], params["emb"][num_users:]
+    return params["user_emb"], params["item_emb"]
+
+
+class LightGCN:
+    """Propagation + scoring for one Stage-B configuration.
+
+    Construction precompiles the edge-weight recipe into SpmmOperator(s);
+    ``propagate(params)`` returns the layer-averaged (user_emb, item_emb).
+    """
+
+    def __init__(self, cfg: RecConfig, graph: BipartiteGraph,
+                 cred: Optional[np.ndarray] = None,
+                 backend: Optional[str] = None):
+        cfg.validate()
+        self.cfg = cfg
+        self.num_users = graph.num_users
+        self.num_items = graph.num_items
+        backend = backend if backend is not None else cfg.spmm_backend
+
+        maps = build_edge_maps(graph, cfg.weight_mode, cred)
+        if cfg.propagation == "symmetric":
+            assert isinstance(maps, EdgeMap)
+            self.joint_op = SpmmOperator(maps, backend=backend)
+            self.item_from_user = self.user_from_item = None
+        else:
+            item_from_user_map, user_from_item_map = maps
+            self.item_from_user = SpmmOperator(item_from_user_map, backend=backend)
+            self.user_from_item = SpmmOperator(user_from_item_map, backend=backend)
+            self.joint_op = None
+
+    # -- propagation ------------------------------------------------------
+
+    def propagate(self, params: Params) -> Tuple[jax.Array, jax.Array]:
+        K = self.cfg.num_layers
+        mode = self.cfg.propagation
+        if mode == "symmetric":
+            x = params["emb"] if "emb" in params else jnp.concatenate(
+                [params["user_emb"], params["item_emb"]], axis=0)
+            acc = x
+            for _ in range(K):
+                x = self.joint_op(x)
+                acc = acc + x
+            final = acc / (K + 1)
+            return final[:self.num_users], final[self.num_users:]
+
+        u, i = ego_tables(params, self.num_users)
+        acc_u, acc_i = u, i
+        for _ in range(K):
+            if mode == "bipartite_sync":
+                # Jacobi: both updates read layer k (lightgcn_cu.py:429-439)
+                new_i = self.item_from_user(u)
+                new_u = self.user_from_item(i)
+                u, i = new_u, new_i
+            else:  # gauss_seidel (lightgcn_cu_message.py:421-423)
+                i = self.item_from_user(u)
+                u = self.user_from_item(i)
+            acc_u = acc_u + u
+            acc_i = acc_i + i
+        return acc_u / (K + 1), acc_i / (K + 1)
+
+    # -- scoring ----------------------------------------------------------
+
+    @staticmethod
+    def score(user_emb: jax.Array, item_emb: jax.Array,
+              users: jax.Array, items: jax.Array) -> jax.Array:
+        """Eq 3.26: dot-product (lightgcn_cu.py:450-454)."""
+        return jnp.sum(user_emb[users] * item_emb[items], axis=-1)
+
+    @staticmethod
+    def score_all_items(user_emb: jax.Array, item_emb: jax.Array,
+                        users: jax.Array) -> jax.Array:
+        """(B, I) dense scores for full-catalog evaluation
+        (lightgcn.py:483)."""
+        return user_emb[users] @ item_emb.T

@@ -1,0 +1,198 @@
+"""Vectorized on-device samplers.
+
+The reference samples positives/negatives in per-user Python rejection loops
+with numpy RNG (/root/reference/lightgcn.py:289-300, pop-mix variant
+Version-2/lighgcn_cu_pop.py:349-376) — SURVEY.md §3.5 hot loop #2.  Here
+sampling runs on device, whole batch at once:
+
+  * membership tests are a fixed-depth vectorized binary search over the
+    per-user *sorted* CSR rows (the host CSR builder guarantees sortedness);
+  * rejection loops become a bounded number of batched redraw rounds —
+    distribution-equivalent to the reference's sequential rejection, not
+    bit-equivalent (SURVEY.md §7 "hard parts");
+  * the popularity mixture draws from pop^gamma via inverse-CDF
+    ``searchsorted`` instead of ``rng.choice(p=...)``;
+  * SLAS-style weighted sampling without replacement uses Gumbel top-k.
+
+All functions are jit-safe (static shapes, no data-dependent Python control
+flow) and thread explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.csr import CSR
+
+
+@dataclass(frozen=True)
+class DeviceCSR:
+    """Device-resident CSR with sorted rows (see graph/csr.py)."""
+    indptr: jax.Array          # (N+1,) int32
+    indices: jax.Array         # (nnz,) int32, sorted within each row
+    num_rows: int
+    num_cols: int
+    search_iters: int          # static binary-search depth >= ceil(log2(max_deg))
+
+    @classmethod
+    def from_host(cls, csr: CSR, num_cols: int) -> "DeviceCSR":
+        max_deg = int(csr.degrees().max()) if csr.nnz else 1
+        iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
+        return cls(
+            indptr=jnp.asarray(csr.indptr, dtype=jnp.int32),
+            indices=jnp.asarray(csr.indices, dtype=jnp.int32)
+            if csr.nnz else jnp.zeros((1,), jnp.int32),
+            num_rows=csr.num_rows,
+            num_cols=num_cols,
+            search_iters=iters,
+        )
+
+jax.tree_util.register_dataclass(
+    DeviceCSR, data_fields=["indptr", "indices"],
+    meta_fields=["num_rows", "num_cols", "search_iters"])
+
+
+def row_contains(csr: DeviceCSR, rows: jax.Array, cands: jax.Array) -> jax.Array:
+    """Vectorized ``user_has_item`` (lightgcn.py:280-287).
+
+    rows: (B,) int; cands: (B, ...) int -> bool of cands.shape.
+    Lower-bound binary search within each row's sorted slice.
+    """
+    shape = cands.shape
+    cands2 = cands.reshape(shape[0], -1)
+    lo0 = csr.indptr[rows][:, None].astype(jnp.int32)
+    hi0 = csr.indptr[rows + 1][:, None].astype(jnp.int32)
+    lo = jnp.broadcast_to(lo0, cands2.shape)
+    hi = jnp.broadcast_to(hi0, cands2.shape)
+    nmax = csr.indices.shape[0] - 1
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        v = csr.indices[jnp.clip(mid, 0, nmax)]
+        go_right = v < cands2
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, csr.search_iters, body, (lo, hi))
+    found = (lo < jnp.broadcast_to(hi0, cands2.shape)) & (
+        csr.indices[jnp.clip(lo, 0, nmax)] == cands2)
+    return found.reshape(shape)
+
+
+def sample_positives(key: jax.Array, csr: DeviceCSR, rows: jax.Array) -> jax.Array:
+    """Uniform positive per row (lightgcn.py:289-293).  Rows with zero degree
+    return the (meaningless) first slot — callers mask them out, matching the
+    reference's ``if p is None: continue``."""
+    lo = csr.indptr[rows]
+    deg = csr.indptr[rows + 1] - lo
+    off = jax.random.randint(key, rows.shape, 0, jnp.maximum(deg, 1))
+    return csr.indices[jnp.clip(lo + off, 0, csr.indices.shape[0] - 1)]
+
+
+def _redraw_uniform(key, shape, num_items):
+    return jax.random.randint(key, shape, 0, num_items)
+
+
+def sample_negatives_uniform(key: jax.Array, csr: DeviceCSR, rows: jax.Array,
+                             num_items: int, rounds: int = 8) -> jax.Array:
+    """Batched-rejection uniform negatives (lightgcn.py:296-300).
+
+    ``rounds`` bounded redraw rounds; residual collision probability after r
+    rounds is (deg/I)^r — negligible for recommendation graphs.
+    """
+    key, k0 = jax.random.split(key)
+    cand = _redraw_uniform(k0, rows.shape, num_items)
+    for _ in range(rounds):
+        bad = row_contains(csr, rows, cand[:, None])[:, 0]
+        key, kr = jax.random.split(key)
+        cand = jnp.where(bad, _redraw_uniform(kr, rows.shape, num_items), cand)
+    return cand
+
+
+@dataclass(frozen=True)
+class PopMixSampler:
+    """Method E popularity-mixture negative sampler
+    (Version-2/lighgcn_cu_pop.py:349-376; dist built :805-814).
+
+    With probability ``mix_pop`` draw from p(i) ∝ (deg_i+1)^gamma, else
+    uniform; reject interacted items with bounded redraws and a final uniform
+    fallback round (mirroring the reference's 50-try fallback).
+    """
+    cdf: jax.Array            # (I,) float32 inclusive CDF of pop^gamma probs
+    mix_pop: float
+    num_items: int
+
+    @classmethod
+    def build(cls, item_train_degrees: np.ndarray, mix_pop: float = 0.7,
+              gamma: float = 0.75) -> "PopMixSampler":
+        pop = np.power(np.asarray(item_train_degrees, np.float64) + 1.0, gamma)
+        prob = pop / (pop.sum() + 1e-12)
+        cdf = np.cumsum(prob)
+        cdf[-1] = 1.0
+        return cls(cdf=jnp.asarray(cdf, jnp.float32), mix_pop=float(mix_pop),
+                   num_items=int(item_train_degrees.shape[0]))
+
+    def draw(self, key: jax.Array, shape) -> jax.Array:
+        ku, km, kp = jax.random.split(key, 3)
+        use_pop = jax.random.uniform(km, shape) < self.mix_pop
+        u = jax.random.uniform(kp, shape)
+        pop_draw = jnp.searchsorted(self.cdf, u, side="left").astype(jnp.int32)
+        pop_draw = jnp.clip(pop_draw, 0, self.num_items - 1)
+        uni_draw = _redraw_uniform(ku, shape, self.num_items)
+        return jnp.where(use_pop, pop_draw, uni_draw)
+
+jax.tree_util.register_dataclass(
+    PopMixSampler, data_fields=["cdf"], meta_fields=["mix_pop", "num_items"])
+
+
+def sample_negatives_popmix(key: jax.Array, csr: DeviceCSR, rows: jax.Array,
+                            sampler: PopMixSampler, rounds: int = 8) -> jax.Array:
+    key, k0 = jax.random.split(key)
+    cand = sampler.draw(k0, rows.shape)
+    for _ in range(rounds):
+        bad = row_contains(csr, rows, cand[:, None])[:, 0]
+        key, kr = jax.random.split(key)
+        cand = jnp.where(bad, sampler.draw(kr, rows.shape), cand)
+    # final uniform fallback for any residual collisions (reference
+    # Version-2/lighgcn_cu_pop.py:372-376)
+    bad = row_contains(csr, rows, cand[:, None])[:, 0]
+    key, kf = jax.random.split(key)
+    cand = jnp.where(bad, _redraw_uniform(kf, rows.shape, sampler.num_items), cand)
+    return cand
+
+
+def sample_candidate_set(key: jax.Array, reject_csrs, rows: jax.Array,
+                         num_items: int, k: int, rounds: int = 8) -> jax.Array:
+    """(B, k) uniform candidates rejecting membership in ANY of the given
+    CSRs — the sampled-evaluation negative draw (lightgcn.py:422-430 rejects
+    both the user's full test ground-truth set and their train items)."""
+    key, k0 = jax.random.split(key)
+    cand = _redraw_uniform(k0, (rows.shape[0], k), num_items)
+    for _ in range(rounds):
+        bad = jnp.zeros(cand.shape, bool)
+        for csr in reject_csrs:
+            bad = bad | row_contains(csr, rows, cand)
+        key, kr = jax.random.split(key)
+        cand = jnp.where(bad, _redraw_uniform(kr, cand.shape, num_items), cand)
+    return cand
+
+
+def gumbel_topk(key: jax.Array, logits: jax.Array, k: int,
+                mask: jax.Array | None = None):
+    """Weighted sampling WITHOUT replacement via Gumbel top-k.
+
+    Exactly k indices with inclusion probabilities following the softmax of
+    ``logits`` — the on-device equivalent of the reference's
+    ``rng.choice(..., replace=False, p=w)`` SLAS draw (main.py:758-807).
+    Masked slots are excluded.  Returns (indices, gumbel_scores).
+    """
+    g = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape) + 1e-20) + 1e-20)
+    scored = logits + g
+    if mask is not None:
+        scored = jnp.where(mask, scored, -jnp.inf)
+    vals, idx = jax.lax.top_k(scored, k)
+    return idx, vals

@@ -1,0 +1,140 @@
+"""Weighted sparse matrix–dense matrix products (the propagation kernel).
+
+This replaces every ``torch.sparse.mm`` call in the reference
+(/root/reference/lightgcn.py:323, lightgcn_cu.py:431,434,
+version_1/lightgcn_cu_message.py:421,423) — the dominant FLOP cost of
+Stage-B training, re-run for every batch (SURVEY.md §3.5 hot loop #1).
+
+Design (TPU-first):
+
+  * Edges are pre-sorted by destination on the host, once per graph.  The
+    per-edge weight vector (credibility, symmetric norm, degree damping —
+    SURVEY.md C16–C19) is fused into the product, so every propagation
+    variant is "the same kernel, different weights".
+  * Forward: ``y[d] = sum_{e: dst[e]=d} w[e] * x[src[e]]``.
+  * Two backends:
+      - "xla":    gather + ``jax.ops.segment_sum`` (sorted-indices hint).
+                  Portable; the CPU-test and correctness oracle path.
+      - "pallas": destination-blocked scatter-as-matmul segment-sum kernel
+                  (ops/spmm_pallas.py) that turns the irregular reduction
+                  into dense (rows × edges) one-hot matmuls on the MXU.
+  * The backward pass never relies on XLA's gather-VJP (which would emit a
+    scatter): each operator carries its transpose plan and a custom VJP
+    routes ``dx = A^T @ g`` through the same kernel.
+
+Weights are constants of the operator (none of the reference models
+differentiate through edge weights), which keeps the VJP a single clean
+transpose product.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.operators import EdgeMap
+
+
+@dataclass(frozen=True)
+class _SortedEdges:
+    """Device-resident dst-sorted edge arrays for one direction."""
+    src: jax.Array            # (E,) int32, in dst-sorted order
+    dst: jax.Array            # (E,) int32, nondecreasing
+    w: jax.Array              # (E,) float32, in dst-sorted order
+    num_src: int
+    num_dst: int
+
+
+def _sort_edges(edge_map: EdgeMap) -> _SortedEdges:
+    order = np.argsort(edge_map.dst, kind="stable")
+    return _SortedEdges(
+        src=jnp.asarray(edge_map.src[order], dtype=jnp.int32),
+        dst=jnp.asarray(edge_map.dst[order], dtype=jnp.int32),
+        w=jnp.asarray(edge_map.w[order], dtype=jnp.float32),
+        num_src=edge_map.num_src,
+        num_dst=edge_map.num_dst,
+    )
+
+
+def _apply_xla(edges: _SortedEdges, x: jax.Array) -> jax.Array:
+    msg = x[edges.src] * edges.w[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(
+        msg, edges.dst, num_segments=edges.num_dst, indices_are_sorted=True)
+
+
+def resolve_backend(backend: str) -> str:
+    """"auto" -> pallas on TPU, xla elsewhere."""
+    if backend != "auto":
+        return backend
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+class SpmmOperator:
+    """A fixed sparse operator ``y = A @ x`` with a fused per-edge weight.
+
+    ``apply`` is differentiable in ``x``; its VJP is the transpose operator
+    applied to the cotangent (both directions pre-planned on the host).
+    """
+
+    def __init__(self, edge_map: EdgeMap, backend: str = "xla",
+                 block_rows: int = 256, chunk_edges: int = 512):
+        self.backend = resolve_backend(backend)
+        self.num_src = edge_map.num_src
+        self.num_dst = edge_map.num_dst
+        self.num_edges = edge_map.num_edges
+        self._fwd = _sort_edges(edge_map)
+        self._bwd = _sort_edges(
+            EdgeMap(src=edge_map.dst, dst=edge_map.src, w=edge_map.w,
+                    num_src=edge_map.num_dst, num_dst=edge_map.num_src))
+
+        if self.backend == "pallas":
+            from .spmm_pallas import build_pallas_segment_plan, apply_pallas
+            interpret = jax.devices()[0].platform != "tpu"
+            fwd_plan = build_pallas_segment_plan(
+                np.asarray(self._fwd.src), np.asarray(self._fwd.dst),
+                np.asarray(self._fwd.w), self.num_dst, num_src=self.num_src,
+                block_rows=block_rows, chunk_edges=chunk_edges,
+                interpret=interpret)
+            bwd_plan = build_pallas_segment_plan(
+                np.asarray(self._bwd.src), np.asarray(self._bwd.dst),
+                np.asarray(self._bwd.w), self.num_src, num_src=self.num_dst,
+                block_rows=block_rows, chunk_edges=chunk_edges,
+                interpret=interpret)
+            fwd_apply = functools.partial(apply_pallas, fwd_plan)
+            bwd_apply = functools.partial(apply_pallas, bwd_plan)
+        else:
+            fwd_apply = functools.partial(_apply_xla, self._fwd)
+            bwd_apply = functools.partial(_apply_xla, self._bwd)
+
+        @jax.custom_vjp
+        def _matvec(x):
+            return fwd_apply(x)
+
+        def _matvec_fwd(x):
+            return fwd_apply(x), None
+
+        def _matvec_bwd(_, g):
+            return (bwd_apply(g),)
+
+        _matvec.defvjp(_matvec_fwd, _matvec_bwd)
+        self.apply: Callable[[jax.Array], jax.Array] = _matvec
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.apply(x)
+
+    def transpose_apply(self, y: jax.Array) -> jax.Array:
+        """y -> A^T @ y (used directly by smoothness-style terms)."""
+        if self.backend == "pallas":
+            # transpose product == backward product; reuse the custom path by
+            # differentiating? Cheaper: re-dispatch the bwd plan.
+            return jax.vjp(self.apply, jnp.zeros((self.num_src, y.shape[-1]),
+                                                 y.dtype))[1](y)[0]
+        return _apply_xla(self._bwd, y)

@@ -1,0 +1,203 @@
+"""Pallas TPU segment-sum SpMM kernel: scatter-as-matmul over the MXU.
+
+This is the north-star kernel (SURVEY.md C35, §7 step 2) replacing
+``torch.sparse.mm``.  TPUs have no efficient hardware scatter; XLA lowers
+scatter-add to serialized updates.  Instead we reformulate the irregular
+per-destination reduction as a sequence of small dense matmuls:
+
+  1. Host planning (once per graph): edges are sorted by destination, empty
+     destination rows are compressed out (ranks are dense), compressed rows
+     are partitioned into blocks of ``R`` rows, and each block's contiguous
+     edge run is padded to a multiple of ``T`` edges.  Load is therefore
+     balanced by *edge count*, not node count — a power-law hub row simply
+     owns more chunks (SURVEY.md §7 "hard parts").
+  2. Device: messages ``msg[e] = w[e] * x[src[e]]`` come from an XLA fused
+     gather.  The kernel walks edge chunks on a 1-D sequential grid; for
+     each chunk it builds a one-hot ``(R, T)`` matrix from the edges' local
+     row ids and accumulates ``onehot @ msg_chunk`` into the block's
+     ``(R, D)`` VMEM accumulator on the MXU.  Scalar-prefetched per-chunk
+     metadata (block id, first-chunk flag) drives the output block index
+     map, so consecutive chunks of one block revisit the same VMEM buffer
+     with no HBM round-trip.
+  3. Decompression back to the full destination space is a gather
+     (masked for absent rows) — never a scatter.
+
+Cost per edge is R*D*2 one-hot MACs — at R=256, D<=128 this is far below
+the MXU roofline, leaving the kernel HBM-bandwidth-bound as SpMM should be.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_BLOCK_ROWS = 256     # R: compressed destination rows per output block
+DEFAULT_CHUNK_EDGES = 256    # T: edges per grid step
+
+
+@dataclass(frozen=True)
+class PallasSegmentPlan:
+    """Device-resident plan for one sparse operator direction."""
+    src_padded: jax.Array      # (E_pad,) int32 source ids (pad -> 0)
+    w_padded: jax.Array        # (E_pad,) float32 weights (pad -> 0)
+    local_ids: jax.Array       # (1, E_pad) int32 row id within block (pad -> R)
+    block_id: jax.Array        # (G,) int32 output block per chunk
+    first_chunk: jax.Array     # (G,) int32 1 if first chunk of its block
+    rank_map: jax.Array        # (num_dst,) int32 dst row -> compressed row
+    present: jax.Array         # (num_dst,) bool dst row has any edge
+    num_dst: int
+    num_src: int
+    num_blocks: int
+    block_rows: int
+    chunk_edges: int
+    interpret: bool
+
+
+jax.tree_util.register_dataclass(
+    PallasSegmentPlan,
+    data_fields=["src_padded", "w_padded", "local_ids", "block_id",
+                 "first_chunk", "rank_map", "present"],
+    meta_fields=["num_dst", "num_src", "num_blocks", "block_rows",
+                 "chunk_edges", "interpret"])
+
+
+def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                              num_dst: int, block_rows: int = DEFAULT_BLOCK_ROWS,
+                              chunk_edges: int = DEFAULT_CHUNK_EDGES,
+                              num_src: int | None = None,
+                              interpret: bool = False) -> PallasSegmentPlan:
+    """Host-side planning. ``src``/``dst``/``w`` must already be dst-sorted."""
+    R, T = int(block_rows), int(chunk_edges)
+    E = int(src.shape[0])
+    num_src = int(num_src if num_src is not None else (src.max() + 1 if E else 1))
+
+    if E == 0:
+        # degenerate single empty chunk
+        return PallasSegmentPlan(
+            src_padded=jnp.zeros((T,), jnp.int32),
+            w_padded=jnp.zeros((T,), jnp.float32),
+            local_ids=jnp.full((1, T), R, jnp.int32),
+            block_id=jnp.zeros((1,), jnp.int32),
+            first_chunk=jnp.ones((1,), jnp.int32),
+            rank_map=jnp.zeros((num_dst,), jnp.int32),
+            present=jnp.zeros((num_dst,), bool),
+            num_dst=num_dst, num_src=num_src, num_blocks=1,
+            block_rows=R, chunk_edges=T, interpret=interpret)
+
+    dst = np.asarray(dst, np.int64)
+    assert np.all(np.diff(dst) >= 0), "edges must be sorted by dst"
+
+    present_rows, cdst = np.unique(dst, return_inverse=True)
+    n_present = present_rows.shape[0]
+    num_blocks = -(-n_present // R)
+
+    blk_of_edge = cdst // R
+    edges_per_block = np.bincount(blk_of_edge, minlength=num_blocks)
+    chunks_per_block = np.maximum(-(-edges_per_block // T), 1)
+    padded_per_block = chunks_per_block * T
+
+    pad_start = np.zeros(num_blocks + 1, np.int64)
+    np.cumsum(padded_per_block, out=pad_start[1:])
+    edge_start = np.zeros(num_blocks + 1, np.int64)
+    np.cumsum(edges_per_block, out=edge_start[1:])
+
+    E_pad = int(pad_start[-1])
+    G = E_pad // T
+
+    pos = pad_start[blk_of_edge] + (np.arange(E) - edge_start[blk_of_edge])
+
+    src_padded = np.zeros(E_pad, np.int32)
+    w_padded = np.zeros(E_pad, np.float32)
+    lid_flat = np.full(E_pad, R, np.int32)
+    src_padded[pos] = src
+    w_padded[pos] = w
+    lid_flat[pos] = (cdst - blk_of_edge * R).astype(np.int32)
+
+    block_id = np.repeat(np.arange(num_blocks, dtype=np.int32),
+                         chunks_per_block)
+    first_chunk = np.zeros(G, np.int32)
+    chunk_start = np.zeros(num_blocks, np.int64)
+    np.cumsum(chunks_per_block[:-1], out=chunk_start[1:])
+    first_chunk[chunk_start] = 1
+
+    rank_map = np.zeros(num_dst, np.int32)
+    rank_map[present_rows] = np.arange(n_present, dtype=np.int32)
+    present = np.zeros(num_dst, bool)
+    present[present_rows] = True
+
+    return PallasSegmentPlan(
+        src_padded=jnp.asarray(src_padded),
+        w_padded=jnp.asarray(w_padded),
+        local_ids=jnp.asarray(lid_flat.reshape(1, G * T)),
+        block_id=jnp.asarray(block_id),
+        first_chunk=jnp.asarray(first_chunk),
+        rank_map=jnp.asarray(rank_map),
+        present=jnp.asarray(present),
+        num_dst=num_dst, num_src=num_src, num_blocks=int(num_blocks),
+        block_rows=R, chunk_edges=T, interpret=interpret)
+
+
+def _segment_kernel(block_ref, first_ref, lid_ref, msg_ref, out_ref, *,
+                    R: int, T: int):
+    from jax.experimental import pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(first_ref[step] == 1)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lid = lid_ref[:]                                           # (1, T)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
+    onehot = (rows == lid).astype(jnp.float32)                 # (R, T)
+    out_ref[:] += jnp.dot(onehot, msg_ref[:],
+                          preferred_element_type=jnp.float32)
+
+
+def apply_pallas(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
+    """y[d] = sum_{e: dst[e]=d} w[e] * x[src[e]] via the chunked kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, T = plan.block_rows, plan.chunk_edges
+    D = x.shape[-1]
+    G = plan.local_ids.shape[1] // T
+
+    msg = x[plan.src_padded] * plan.w_padded[:, None].astype(x.dtype)
+    msg = msg.astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, T), lambda g, blk, first: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, D), lambda g, blk, first: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, D), lambda g, blk, first: (blk[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    kernel = functools.partial(_segment_kernel, R=R, T=T)
+    flops = 2 * G * R * T * D
+    y_comp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_blocks * R, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=msg.size * 4 + plan.num_blocks * R * D * 4,
+            transcendentals=0),
+        interpret=plan.interpret,
+    )(plan.block_id, plan.first_chunk, plan.local_ids, msg)
+
+    y = y_comp[plan.rank_map]
+    y = jnp.where(plan.present[:, None], y, 0.0).astype(x.dtype)
+    return y

@@ -1,0 +1,267 @@
+"""Stage-B trainer: pjit-able BPR training over any LightGCN variant.
+
+Replaces the reference's per-script train loops
+(/root/reference/lightgcn.py:515-632, lightgcn_cu.py:552-687,
+Version-2/lighgcn_cu_pop.py:817-934) with a single trainer:
+
+  * one compiled ``lax.scan`` per epoch over fixed-size user batches —
+    positive/negative sampling, full-graph propagation, BPR(+fair)+L2 loss,
+    and the Adam update all run on device (the reference crosses the
+    host/device boundary twice per batch, SURVEY.md §3.2);
+  * the final ragged batch is padded and masked, reproducing the
+    reference's variable-length batch means exactly;
+  * "per_batch" propagation schedule recomputes the K-layer propagation
+    inside every step (reference-faithful: lightgcn.py:584 calls
+    ``get_user_item_emb()`` per batch); "per_epoch" caches it across an
+    epoch for throughput;
+  * model selection on val Recall@max(Ks) with best-checkpoint keep
+    (lightgcn.py:605-616), final test on the best params.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.cred_io import load_credibility_vector
+from ..eval.ranking import EvalContext, evaluate_full, evaluate_sampled
+from ..graph.build import BipartiteGraph
+from ..models import losses
+from ..models.lightgcn import LightGCN, ego_tables, init_params
+from ..ops.sampling import (DeviceCSR, PopMixSampler, sample_negatives_popmix,
+                            sample_negatives_uniform, sample_positives)
+from ..utils.config import RecConfig
+from .checkpoint import TrainCheckpointer, save_params_npz
+
+
+def format_metrics_block(title: str, res: Dict[int, Dict[str, float]]) -> str:
+    """Reference-format metric block for parity diffing against the captured
+    ``.out`` logs (lightgcn.py:608-611)."""
+    lines = [f"{title} metrics:"]
+    for K in sorted(res):
+        r = res[K]
+        lines.append(
+            f"  K={K}: P={r['precision']:.4f} R={r['recall']:.4f} "
+            f"NDCG={r['ndcg']:.4f} ({r['mode']})")
+    return "\n".join(lines)
+
+
+@dataclass
+class TrainLogEntry:
+    epoch: int
+    loss: float
+    val: Optional[Dict[int, Dict[str, float]]] = None
+    seconds: float = 0.0
+
+
+@dataclass
+class FitResult:
+    best_params: Dict[str, jax.Array]
+    best_val_recall: float
+    test_metrics: Dict[int, Dict[str, float]]
+    history: list = field(default_factory=list)
+
+
+class RecTrainer:
+    def __init__(self, cfg: RecConfig, graph: BipartiteGraph,
+                 cred: Optional[np.ndarray] = None, verbose: bool = True):
+        cfg.validate()
+        self.cfg = cfg
+        self.graph = graph
+        self.verbose = verbose
+
+        if cred is None and cfg.cred_csv_path:
+            cred = load_credibility_vector(cfg.cred_csv_path, graph.num_users,
+                                           graph.user2idx)
+        self.cred = cred if cred is not None else np.ones(
+            graph.num_users, np.float32)
+
+        self.model = LightGCN(cfg, graph, self.cred)
+        self.ctx = EvalContext.build(graph)
+
+        deg_i = graph.train_item_degrees()
+        self.pop_norm = jnp.asarray(
+            deg_i / max(float(deg_i.max()), 1.0), jnp.float32)
+
+        self.train_users = np.nonzero(graph.user_csr("train").degrees() > 0)[0]
+        if self.train_users.size == 0:
+            raise RuntimeError("No train users with interactions.")
+        self.train_users_dev = jnp.asarray(self.train_users, jnp.int32)
+
+        self.popmix = None
+        if cfg.negative_sampler == "popmix":
+            self.popmix = PopMixSampler.build(
+                deg_i, mix_pop=cfg.neg_mix_pop, gamma=cfg.neg_pop_gamma)
+
+        self.optimizer = optax.adam(cfg.lr)
+        self._epoch_fn = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None):
+        seed = self.cfg.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        key, kinit = jax.random.split(key)
+        params = init_params(kinit, self.cfg, self.graph.num_users,
+                             self.graph.num_items)
+        opt_state = self.optimizer.init(params)
+        return params, opt_state, key
+
+    # ------------------------------------------------------------------
+    def _sample_batch(self, key, users):
+        kp, kn = jax.random.split(key)
+        pos = sample_positives(kp, self.ctx.train_csr, users)
+        if self.popmix is not None:
+            neg = sample_negatives_popmix(kn, self.ctx.train_csr, users,
+                                          self.popmix,
+                                          rounds=self.cfg.neg_rounds)
+        else:
+            neg = sample_negatives_uniform(kn, self.ctx.train_csr, users,
+                                           self.graph.num_items,
+                                           rounds=self.cfg.neg_rounds)
+        return pos, neg
+
+    def _loss_fn(self, params, users, pos, neg, mask,
+                 cached_emb: Optional[Tuple[jax.Array, jax.Array]] = None):
+        if cached_emb is None:
+            user_emb, item_emb = self.model.propagate(params)
+        else:
+            user_emb, item_emb = cached_emb
+        pos_s = LightGCN.score(user_emb, item_emb, users, pos)
+        neg_s = LightGCN.score(user_emb, item_emb, users, neg)
+        loss = losses.bpr_loss(pos_s, neg_s, mask)
+
+        ego_u, ego_i = ego_tables(params, self.graph.num_users)
+        reg = losses.ego_l2(ego_u[users], ego_i[pos], ego_i[neg], mask)
+        loss = loss + self.cfg.reg * reg
+
+        if self.cfg.lambda_fair != 0.0:
+            fair = losses.fairness_loss(self.pop_norm[pos], pos_s, mask)
+            loss = loss + self.cfg.lambda_fair * fair
+        return loss
+
+    # ------------------------------------------------------------------
+    def _build_epoch_fn(self):
+        cfg = self.cfg
+        B = cfg.batch_size
+        n = self.train_users.size
+        nb = -(-n // B)
+        n_pad = nb * B
+
+        def epoch_fn(params, opt_state, key):
+            kperm, key = jax.random.split(key)
+            perm = jax.random.permutation(kperm, self.train_users_dev)
+            pad = jnp.zeros((n_pad - n,), jnp.int32)
+            users_all = jnp.concatenate([perm, pad]).reshape(nb, B)
+            mask_all = (jnp.arange(n_pad) < n).reshape(nb, B)
+
+            cached = None
+            if cfg.propagation_schedule == "per_epoch":
+                cached = self.model.propagate(params)
+
+            def step(carry, batch):
+                params, opt_state, key = carry
+                users, mask = batch
+                key, ks = jax.random.split(key)
+                pos, neg = self._sample_batch(ks, users)
+                loss, grads = jax.value_and_grad(self._loss_fn)(
+                    params, users, pos, neg, mask, cached)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, key), loss
+
+            (params, opt_state, key), batch_losses = jax.lax.scan(
+                step, (params, opt_state, key), (users_all, mask_all))
+            return params, opt_state, key, jnp.mean(batch_losses)
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def evaluate(self, params, split: str, key: Optional[jax.Array] = None,
+                 extended: Optional[bool] = None):
+        cfg = self.cfg
+        extended = cfg.extended_metrics if extended is None else extended
+        user_emb, item_emb = jax.jit(self.model.propagate)(params)
+        if cfg.eval_mode == "full":
+            return evaluate_full(user_emb, item_emb, self.ctx, split,
+                                 Ks=cfg.Ks, extended=extended, cred=self.cred,
+                                 cred_group_pct=cfg.cred_group_pct)
+        if key is None:
+            # dedicated eval stream, reference's seed+999 (lightgcn.py:406)
+            key = jax.random.PRNGKey(cfg.seed + 999)
+        return evaluate_sampled(key, user_emb, item_emb, self.ctx, split,
+                                Ks=cfg.Ks, n_negatives=cfg.sampled_negatives,
+                                extended=extended, cred=self.cred,
+                                cred_group_pct=cfg.cred_group_pct)
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None, seed: Optional[int] = None,
+            checkpointer: Optional[TrainCheckpointer] = None,
+            resume: bool = False) -> FitResult:
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        params, opt_state, key = self.init_state(seed)
+        start_epoch = 1
+        best_val = -1.0
+        best_params = jax.tree.map(jnp.copy, params)
+
+        if checkpointer is not None and resume:
+            state = checkpointer.restore(template={
+                "params": params, "opt_state": opt_state, "key": key,
+                "epoch": 0, "best_val": 0.0, "best_params": best_params})
+            if state is not None:
+                params = state["params"]
+                opt_state = state["opt_state"]
+                key = state["key"]
+                start_epoch = int(state["epoch"]) + 1
+                best_val = float(state["best_val"])
+                best_params = state["best_params"]
+                self._log(f"[CKPT] resumed at epoch {start_epoch}")
+
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+
+        selK = max(cfg.Ks)
+        history = []
+        for epoch in range(start_epoch, epochs + 1):
+            t0 = time.perf_counter()
+            params, opt_state, key, loss = self._epoch_fn(params, opt_state, key)
+            loss = float(loss)
+            dt = time.perf_counter() - t0
+            self._log(f"Epoch {epoch:02d} | loss={loss:.6f}")
+
+            entry = TrainLogEntry(epoch=epoch, loss=loss, seconds=dt)
+            if epoch % cfg.eval_every == 0:
+                val_res = self.evaluate(params, "val")
+                entry.val = val_res
+                self._log(format_metrics_block("VAL", val_res))
+                val_score = val_res[selK]["recall"]
+                if val_score > best_val:
+                    best_val = val_score
+                    best_params = jax.tree.map(jnp.copy, params)
+                    self._log(f"  saved best (val Recall@{selK}={best_val:.4f})")
+                    if cfg.out_dir and cfg.save_best:
+                        save_params_npz(
+                            f"{cfg.out_dir}/best_model.npz", best_params)
+            history.append(entry)
+
+            if checkpointer is not None:
+                checkpointer.save(epoch, {
+                    "params": params, "opt_state": opt_state, "key": key,
+                    "epoch": epoch, "best_val": best_val,
+                    "best_params": best_params})
+
+        test_res = self.evaluate(best_params, "test")
+        self._log("\nTEST " + format_metrics_block("TEST", test_res)[5:])
+        return FitResult(best_params=best_params, best_val_recall=best_val,
+                         test_metrics=test_res, history=history)
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg)

@@ -1,0 +1,140 @@
+"""Graph store: CSR, bipartite build, edge-weight operators."""
+
+import numpy as np
+import pytest
+
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph import csr as csrm
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph import operators as ops
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+    BipartiteGraph, synthetic_bipartite_graph, _factorize_encounter_order)
+
+
+def _reference_user_csr(edges, num_users):
+    """Reference edges_to_user_csr semantics (lightgcn.py:259-277)."""
+    u = edges[0].astype(np.int64)
+    it = edges[1].astype(np.int64)
+    order = np.argsort(u, kind="mergesort")
+    u, it = u[order], it[order]
+    counts = np.bincount(u, minlength=num_users)
+    indptr = np.zeros(num_users + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(counts)
+    indices = it.copy()
+    for user in range(num_users):
+        s, e = indptr[user], indptr[user + 1]
+        if e - s > 1:
+            indices[s:e] = np.sort(indices[s:e])
+    return indptr, indices
+
+
+def test_csr_matches_reference_semantics(rng):
+    edges = np.stack([rng.integers(0, 50, 400), rng.integers(0, 70, 400)])
+    c = csrm.edges_to_csr(edges[0], edges[1], 50)
+    ref_ptr, ref_idx = _reference_user_csr(edges, 50)
+    np.testing.assert_array_equal(c.indptr, ref_ptr)
+    np.testing.assert_array_equal(c.indices, ref_idx)
+
+
+def test_csr_membership(rng):
+    edges = np.stack([rng.integers(0, 30, 200), rng.integers(0, 40, 200)])
+    c = csrm.edges_to_csr(edges[0], edges[1], 30)
+    present = set(map(tuple, edges.T.tolist()))
+    for u in range(30):
+        for i in range(40):
+            assert c.has(u, i) == ((u, i) in present)
+
+
+def test_factorize_encounter_order():
+    vals = np.array([5, 3, 5, 9, 3, 1])
+    new, order = _factorize_encounter_order(vals)
+    np.testing.assert_array_equal(new, [0, 1, 0, 2, 1, 3])
+    np.testing.assert_array_equal(order, [5, 3, 9, 1])  # original values by first seen
+    # order maps new idx -> original value
+    np.testing.assert_array_equal(order, [vals[np.where(new == k)[0][0]] for k in range(4)])
+
+
+def test_synthetic_graph_consistency(small_graph):
+    g = small_graph
+    total = sum(g.edges(s).shape[1] for s in ("train", "val", "test"))
+    assert total > 0
+    for s in ("train", "val", "test"):
+        e = g.edges(s)
+        assert e[0].max(initial=0) < g.num_users
+        assert e[1].max(initial=0) < g.num_items
+    # CSR round trip
+    tr = g.user_csr("train")
+    assert tr.nnz == g.train_edges.shape[1]
+    degs = tr.degrees()
+    assert degs.sum() == tr.nnz
+
+
+def test_graph_npz_roundtrip(small_graph, tmp_path):
+    p = tmp_path / "g.npz"
+    small_graph.save_npz(p)
+    g2 = BipartiteGraph.load_npz(p)
+    assert g2.num_users == small_graph.num_users
+    np.testing.assert_array_equal(g2.train_edges, small_graph.train_edges)
+    assert g2.user_ids == small_graph.user_ids
+
+
+# ---------------------------------------------------------------------------
+# Edge-weight operators vs dense reference formulas
+# ---------------------------------------------------------------------------
+
+def _dense_sym_norm(graph):
+    """Dense D^-1/2 A D^-1/2 oracle (lightgcn.py:352-372)."""
+    U, I = graph.num_users, graph.num_items
+    N = U + I
+    A = np.zeros((N, N))
+    for u, i in graph.train_edges.T:
+        A[u, U + i] += 1.0
+        A[U + i, u] += 1.0
+    deg = A.sum(1)
+    with np.errstate(divide="ignore"):
+        d = 1.0 / np.sqrt(deg)
+    d[~np.isfinite(d)] = 0.0
+    return d[:, None] * A * d[None, :]
+
+
+def test_symmetric_norm_weights(small_graph):
+    em = ops.symmetric_norm_edge_map(small_graph)
+    np.testing.assert_allclose(em.to_dense(), _dense_sym_norm(small_graph),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cred_eq322_weights(small_graph):
+    g = small_graph
+    cred = np.random.default_rng(1).uniform(0, 1, g.num_users).astype(np.float32)
+    m_iu, m_ui = ops.cred_eq322_edge_maps(g, cred)
+    u, i = g.train_edges[0].astype(int), g.train_edges[1].astype(int)
+    deg_u = np.bincount(u, minlength=g.num_users).astype(np.float32)
+    deg_i = np.bincount(i, minlength=g.num_items).astype(np.float32)
+    denom = np.sqrt(np.maximum(deg_u[u] * deg_i[i], 1e-12))
+    np.testing.assert_allclose(m_iu.w, cred[u] / denom, rtol=1e-6)
+    np.testing.assert_allclose(m_ui.w, 1.0 / denom, rtol=1e-6)
+    assert m_iu.num_dst == g.num_items and m_ui.num_dst == g.num_users
+
+
+def test_message_weights_and_damping(small_graph):
+    g = small_graph
+    cred = np.random.default_rng(2).uniform(0, 1, g.num_users).astype(np.float32)
+    u, i = g.train_edges[0].astype(int), g.train_edges[1].astype(int)
+    deg_u = np.bincount(u, minlength=g.num_users).astype(np.float32)
+    deg_i = np.bincount(i, minlength=g.num_items).astype(np.float32)
+    w_base = (1 / np.sqrt(np.maximum(deg_u, 1.0)))[u] * (1 / np.sqrt(np.maximum(deg_i, 1.0)))[i]
+
+    m_iu, m_ui = ops.message_edge_maps(g, cred, degree_damping=False)
+    np.testing.assert_allclose(m_iu.w, cred[u] * w_base, rtol=1e-5)
+    np.testing.assert_allclose(m_ui.w, w_base, rtol=1e-5)
+
+    alpha = 1.0 / np.log1p(np.maximum(deg_i, 1.0))
+    d_iu, d_ui = ops.message_edge_maps(g, cred, degree_damping=True)
+    np.testing.assert_allclose(d_iu.w, cred[u] * w_base * alpha[i], rtol=1e-5)
+    np.testing.assert_allclose(d_ui.w, w_base * alpha[i], rtol=1e-5)
+
+
+def test_build_edge_maps_dispatch(small_graph):
+    assert isinstance(ops.build_edge_maps(small_graph, "symmetric"), ops.EdgeMap)
+    pair = ops.build_edge_maps(small_graph, "cu_message")
+    assert len(pair) == 2
+    with pytest.raises(ValueError):
+        ops.build_edge_maps(small_graph, "nope")

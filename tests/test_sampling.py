@@ -1,0 +1,124 @@
+"""On-device samplers: membership search, positives, negatives, pop-mix."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.csr import edges_to_csr
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops import sampling as smp
+
+
+@pytest.fixture(scope="module")
+def csr_pair():
+    rng = np.random.default_rng(3)
+    edges = np.unique(np.stack([rng.integers(0, 40, 500),
+                                rng.integers(0, 60, 500)], 1), axis=0).T
+    host = edges_to_csr(edges[0], edges[1], 40)
+    dev = smp.DeviceCSR.from_host(host, 60)
+    return host, dev
+
+
+def test_row_contains_matches_host(csr_pair):
+    host, dev = csr_pair
+    rng = np.random.default_rng(4)
+    rows = rng.integers(0, 40, 64)
+    cands = rng.integers(0, 60, (64, 7))
+    got = np.asarray(smp.row_contains(dev, jnp.asarray(rows), jnp.asarray(cands)))
+    for b in range(64):
+        for k in range(7):
+            assert got[b, k] == host.has(rows[b], cands[b, k])
+
+
+def test_sample_positives_in_row(csr_pair):
+    host, dev = csr_pair
+    rows_all = np.nonzero(host.degrees() > 0)[0]
+    rows = jnp.asarray(np.resize(rows_all, 128).astype(np.int64))
+    pos = np.asarray(smp.sample_positives(jax.random.PRNGKey(0), dev, rows))
+    for b, u in enumerate(np.asarray(rows)):
+        assert host.has(int(u), int(pos[b]))
+
+
+def test_sample_positives_covers_row(csr_pair):
+    host, dev = csr_pair
+    u = int(np.argmax(host.degrees()))
+    rows = jnp.full((2000,), u, jnp.int32)
+    pos = np.asarray(smp.sample_positives(jax.random.PRNGKey(1), dev, rows))
+    assert set(pos.tolist()) == set(host.row(u).tolist())
+
+
+def test_negatives_not_in_row(csr_pair):
+    host, dev = csr_pair
+    rows_all = np.nonzero(host.degrees() > 0)[0]
+    rows = jnp.asarray(np.resize(rows_all, 512).astype(np.int64))
+    neg = np.asarray(smp.sample_negatives_uniform(
+        jax.random.PRNGKey(2), dev, rows, 60, rounds=8))
+    bad = sum(host.has(int(u), int(neg[b])) for b, u in enumerate(np.asarray(rows)))
+    assert bad == 0  # collision prob after 8 rounds ~ (deg/I)^9
+
+
+def test_popmix_distribution():
+    deg = np.array([100.0, 0.0, 0.0, 0.0])
+    s = smp.PopMixSampler.build(deg, mix_pop=1.0, gamma=0.75)
+    draws = np.asarray(s.draw(jax.random.PRNGKey(5), (20000,)))
+    freq = np.bincount(draws, minlength=4) / 20000
+    pop = (deg + 1.0) ** 0.75
+    expect = pop / pop.sum()
+    np.testing.assert_allclose(freq, expect, atol=0.02)
+
+
+def test_popmix_mixture_uniform_component():
+    deg = np.zeros(10)
+    s = smp.PopMixSampler.build(deg, mix_pop=0.0)
+    draws = np.asarray(s.draw(jax.random.PRNGKey(6), (20000,)))
+    freq = np.bincount(draws, minlength=10) / 20000
+    np.testing.assert_allclose(freq, 0.1, atol=0.02)
+
+
+def test_popmix_rejection(csr_pair):
+    host, dev = csr_pair
+    s = smp.PopMixSampler.build(np.ones(60) * 5, mix_pop=0.7)
+    rows_all = np.nonzero(host.degrees() > 0)[0]
+    rows = jnp.asarray(np.resize(rows_all, 256).astype(np.int64))
+    neg = np.asarray(smp.sample_negatives_popmix(
+        jax.random.PRNGKey(7), dev, rows, s, rounds=8))
+    bad = sum(host.has(int(u), int(neg[b])) for b, u in enumerate(np.asarray(rows)))
+    assert bad <= 1
+
+
+def test_candidate_set_rejects_all_csrs(csr_pair):
+    host, dev = csr_pair
+    rng = np.random.default_rng(8)
+    edges2 = np.unique(np.stack([rng.integers(0, 40, 200),
+                                 rng.integers(0, 60, 200)], 1), axis=0).T
+    host2 = edges_to_csr(edges2[0], edges2[1], 40)
+    dev2 = smp.DeviceCSR.from_host(host2, 60)
+    rows = jnp.asarray(np.arange(40, dtype=np.int64))
+    cands = np.asarray(smp.sample_candidate_set(
+        jax.random.PRNGKey(9), (dev, dev2), rows, 60, 9, rounds=10))
+    bad = 0
+    for b in range(40):
+        for k in range(9):
+            if host.has(b, int(cands[b, k])) or host2.has(b, int(cands[b, k])):
+                bad += 1
+    assert bad == 0
+
+
+def test_gumbel_topk_respects_weights():
+    logits = jnp.log(jnp.asarray([10.0, 1.0, 1.0, 1.0, 1.0]))
+    counts = np.zeros(5)
+    for t in range(500):
+        idx, _ = smp.gumbel_topk(jax.random.PRNGKey(t), logits, 2)
+        counts[np.asarray(idx)] += 1
+    # heaviest item should appear in nearly every sample-without-replacement
+    assert counts[0] > 450
+    # remaining mass roughly uniform
+    assert counts[1:].std() < counts[1:].mean() * 0.5
+
+
+def test_gumbel_topk_mask():
+    logits = jnp.zeros(6)
+    mask = jnp.asarray([True, True, True, False, False, False])
+    for t in range(20):
+        idx, _ = smp.gumbel_topk(jax.random.PRNGKey(t), logits, 3, mask)
+        assert set(np.asarray(idx).tolist()) == {0, 1, 2}

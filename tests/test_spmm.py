@@ -1,0 +1,115 @@
+"""Weighted SpMM operator vs dense oracle, forward and backward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.operators import (
+    EdgeMap, symmetric_norm_edge_map)
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops.spmm import SpmmOperator
+
+
+def _random_edge_map(rng, num_src=37, num_dst=29, E=150):
+    return EdgeMap(
+        src=rng.integers(0, num_src, E).astype(np.int32),
+        dst=rng.integers(0, num_dst, E).astype(np.int32),
+        w=rng.normal(size=E).astype(np.float32),
+        num_src=num_src, num_dst=num_dst)
+
+
+@pytest.mark.parametrize("D", [8, 64])
+def test_spmm_forward_matches_dense(rng, D):
+    em = _random_edge_map(rng)
+    op = SpmmOperator(em, backend="xla")
+    x = jnp.asarray(rng.normal(size=(em.num_src, D)).astype(np.float32))
+    y = op(x)
+    expect = em.to_dense() @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_backward_is_transpose(rng):
+    em = _random_edge_map(rng, E=80)
+    op = SpmmOperator(em, backend="xla")
+    x = jnp.asarray(rng.normal(size=(em.num_src, 16)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(em.num_dst, 16)).astype(np.float32))
+
+    def f(x):
+        return jnp.sum(op(x) * cot)
+
+    dx = jax.grad(f)(x)
+    expect = em.to_dense().T @ np.asarray(cot, np.float64)
+    np.testing.assert_allclose(np.asarray(dx), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_empty_rows(rng):
+    """Destinations with no incoming edges must be exactly zero."""
+    em = EdgeMap(src=np.array([0, 1], np.int32), dst=np.array([2, 2], np.int32),
+                 w=np.array([1.0, 2.0], np.float32), num_src=3, num_dst=5)
+    op = SpmmOperator(em, backend="xla")
+    x = jnp.ones((3, 4))
+    y = np.asarray(op(x))
+    np.testing.assert_allclose(y[2], 3.0)
+    np.testing.assert_allclose(y[[0, 1, 3, 4]], 0.0)
+
+
+def test_spmm_duplicate_edges_accumulate(rng):
+    em = EdgeMap(src=np.array([1, 1, 1], np.int32), dst=np.array([0, 0, 0], np.int32),
+                 w=np.array([0.5, 0.25, 0.25], np.float32), num_src=2, num_dst=1)
+    op = SpmmOperator(em, backend="xla")
+    x = jnp.asarray([[0.0], [4.0]])
+    np.testing.assert_allclose(np.asarray(op(x)), [[4.0]])
+
+
+def test_spmm_under_jit_and_grad(small_graph, rng):
+    em = symmetric_norm_edge_map(small_graph)
+    op = SpmmOperator(em, backend="xla")
+    x = jnp.asarray(rng.normal(size=(em.num_src, 8)).astype(np.float32))
+
+    @jax.jit
+    def step(x):
+        return jnp.sum(op(x) ** 2)
+
+    g = jax.jit(jax.grad(step))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------------------------------------------------------------------
+# Pallas backend (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+def test_pallas_plan_and_apply_matches_dense(rng):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops import spmm_pallas as sp
+
+    em = _random_edge_map(rng, num_src=50, num_dst=400, E=900)
+    order = np.argsort(em.dst, kind="stable")
+    plan = sp.build_pallas_segment_plan(
+        em.src[order], em.dst[order], em.w[order], em.num_dst,
+        num_src=em.num_src, block_rows=8, chunk_edges=16, interpret=True)
+    x = jnp.asarray(rng.normal(size=(em.num_src, 4)).astype(np.float32))
+    y = sp.apply_pallas(plan, x)
+    expect = em.to_dense() @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_empty_operator():
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops import spmm_pallas as sp
+    plan = sp.build_pallas_segment_plan(
+        np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.float32),
+        num_dst=7, num_src=5, block_rows=8, chunk_edges=16, interpret=True)
+    y = sp.apply_pallas(plan, jnp.ones((5, 4)))
+    np.testing.assert_allclose(np.asarray(y), 0.0)
+
+
+def test_pallas_operator_end_to_end(small_graph, rng):
+    """SpmmOperator with backend='pallas' (interpret) vs xla backend."""
+    em = symmetric_norm_edge_map(small_graph)
+    op_x = SpmmOperator(em, backend="xla")
+    op_p = SpmmOperator(em, backend="pallas")
+    x = jnp.asarray(rng.normal(size=(em.num_src, 8)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(op_p(x)), np.asarray(op_x(x)),
+                               rtol=1e-4, atol=1e-4)
+    cot = jnp.asarray(rng.normal(size=(em.num_dst, 8)).astype(np.float32))
+    gx = jax.grad(lambda x: jnp.sum(op_x(x) * cot))(x)
+    gp = jax.grad(lambda x: jnp.sum(op_p(x) * cot))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-4)

@@ -1,0 +1,107 @@
+"""End-to-end Stage-B training on a small synthetic graph."""
+
+import numpy as np
+import pytest
+
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.configs.presets import get_preset
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+    synthetic_bipartite_graph)
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import RecTrainer
+
+
+@pytest.fixture(scope="module")
+def train_graph():
+    # Dense enough that every user has train interactions and signal exists.
+    return synthetic_bipartite_graph(num_users=150, num_items=80,
+                                     edges_per_user=20.0, seed=3, power=0.6)
+
+
+def _mk(cfg, graph, cred=None, **kw):
+    cfg = cfg.replace(batch_size=64, eval_every=1, sampled_negatives=20,
+                      Ks=(5, 10), **kw)
+    return RecTrainer(cfg, graph, cred=cred, verbose=False)
+
+
+def test_vanilla_learns(train_graph):
+    tr = _mk(get_preset("vanilla"), train_graph)
+    params, _, key = tr.init_state()
+    before = tr.evaluate(params, "val")[10]["recall"]
+    res = tr.fit(epochs=25)
+    assert res.best_val_recall > before + 0.05, (before, res.best_val_recall)
+    assert np.isfinite(res.history[-1].loss)
+    # loss decreased over training
+    assert res.history[-1].loss < res.history[0].loss
+
+
+@pytest.mark.parametrize("preset", ["cred_eq322", "cu_message", "degree_aware",
+                                    "pop_neg"])
+def test_variant_one_epoch_runs(train_graph, preset):
+    cred = np.random.default_rng(0).uniform(0.1, 1.0,
+                                            train_graph.num_users).astype(np.float32)
+    tr = _mk(get_preset(preset), train_graph, cred=cred)
+    res = tr.fit(epochs=2)
+    assert np.isfinite(res.history[-1].loss)
+    assert 0.0 <= res.test_metrics[10]["recall"] <= 1.0
+
+
+def test_fairness_term_changes_loss(train_graph):
+    cfg = get_preset("cred_eq322").replace(batch_size=64, lambda_fair=0.0)
+    cfg2 = cfg.replace(lambda_fair=1.0)
+    t1 = RecTrainer(cfg, train_graph, verbose=False)
+    t2 = RecTrainer(cfg2, train_graph, verbose=False)
+    r1 = t1.fit(epochs=1)
+    r2 = t2.fit(epochs=1)
+    assert abs(r1.history[0].loss - r2.history[0].loss) > 1e-6
+
+
+def test_full_eval_mode(train_graph):
+    tr = _mk(get_preset("vanilla"), train_graph, eval_mode="full")
+    res = tr.fit(epochs=2)
+    assert res.test_metrics[10]["mode"] == "full"
+    assert 0.0 <= res.test_metrics[10]["recall"] <= 1.0
+
+
+def test_extended_metrics(train_graph):
+    cred = np.random.default_rng(1).uniform(0, 1, train_graph.num_users).astype(np.float32)
+    tr = _mk(get_preset("pop_extended"), train_graph, cred=cred)
+    res = tr.fit(epochs=2)
+    m = res.test_metrics[10]
+    for k in ("item_coverage", "avg_log_popularity", "avg_self_information",
+              "cred_utility", "high_cred_recall", "low_cred_recall"):
+        assert k in m, k
+    assert 0.0 < m["item_coverage"] <= 1.0
+    assert abs(m["cred_utility"] - float(np.mean(
+        cred[tr.ctx.eval_users["test"]]))) < 1e-5
+
+
+def test_per_epoch_schedule_close_to_per_batch(train_graph):
+    """Fast mode (cached propagation) trains and evaluates sanely."""
+    tr = _mk(get_preset("vanilla"), train_graph,
+             propagation_schedule="per_epoch")
+    res = tr.fit(epochs=10)
+    assert res.best_val_recall > 0.0
+
+
+def test_determinism_same_seed(train_graph):
+    t1 = _mk(get_preset("vanilla"), train_graph)
+    t2 = _mk(get_preset("vanilla"), train_graph)
+    r1 = t1.fit(epochs=3)
+    r2 = t2.fit(epochs=3)
+    assert r1.history[-1].loss == pytest.approx(r2.history[-1].loss, abs=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(list(r1.best_params.values())[0]),
+        np.asarray(list(r2.best_params.values())[0]), atol=1e-6)
+
+
+def test_checkpoint_resume(train_graph, tmp_path):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.checkpoint import (
+        TrainCheckpointer)
+    tr = _mk(get_preset("vanilla"), train_graph)
+    ck = TrainCheckpointer(tmp_path / "ck")
+    tr.fit(epochs=3, checkpointer=ck)
+    assert ck.latest_step() == 3
+    tr2 = _mk(get_preset("vanilla"), train_graph)
+    res = tr2.fit(epochs=5, checkpointer=TrainCheckpointer(tmp_path / "ck"),
+                  resume=True)
+    assert res.history[0].epoch == 4
+    assert res.history[-1].epoch == 5
