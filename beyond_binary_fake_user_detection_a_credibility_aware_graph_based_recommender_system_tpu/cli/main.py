@@ -1,0 +1,147 @@
+"""Command-line interface.
+
+The reference's "CLI" is editing module constants and running each script
+(`if __name__ == "__main__": main()`, SURVEY.md §1).  Here every stage is a
+subcommand with config overrides:
+
+    python -m beyond_binary_..._tpu.cli build-graph --jsonl R.jsonl --out D/
+    python -m ..._tpu.cli train-cred  --jsonl R.jsonl --out D/ [k=v ...]
+    python -m ..._tpu.cli train-rec   --graph D/graph.npz --preset cu_message
+                                      [--cred D/cred.csv] [k=v ...]
+    python -m ..._tpu.cli evaluate    --graph D/graph.npz --params best.npz
+                                      --preset cu_message [k=v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _add_overrides(p):
+    p.add_argument("overrides", nargs="*",
+                   help="config overrides as key=value")
+
+
+def cmd_build_graph(args):
+    from ..data.ingest import ingest_jsonl
+    from ..graph.build import build_bipartite_graph
+    from ..utils.config import IngestConfig
+
+    cfg = IngestConfig(jsonl_path=args.jsonl).with_overrides(args.overrides)
+    table = ingest_jsonl(args.jsonl, cfg)
+    graph = build_bipartite_graph(table)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    graph.save_npz(out / "graph.npz")
+    print(f"Saved graph to {out/'graph.npz'}")
+    print(graph.summary())
+
+
+def cmd_train_cred(args):
+    from ..data.features import compute_user_features
+    from ..data.ingest import ingest_jsonl
+    from ..graph.hetero import build_heterograph
+    from ..train.cred_trainer import CredTrainer
+    from ..utils.config import CredConfig, IngestConfig
+
+    ccfg = CredConfig().with_overrides(args.overrides)
+    table = ingest_jsonl(args.jsonl, IngestConfig(jsonl_path=args.jsonl),
+                         collect_token_hashes=(ccfg.feature_set == "v1"))
+    feats = compute_user_features(table, ccfg)
+    hg = build_heterograph(table, feats)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    hg.save_npz(out / "graph_hetero.npz")
+    trainer = CredTrainer(hg, ccfg)
+    result = trainer.fit()
+    trainer.export(result, out)
+
+
+def cmd_train_rec(args):
+    from ..configs.presets import get_preset
+    from ..graph.build import BipartiteGraph
+    from ..train.checkpoint import TrainCheckpointer, save_params_npz
+    from ..train.trainer import RecTrainer, format_metrics_block
+
+    cfg = get_preset(args.preset).with_overrides(args.overrides)
+    if args.cred:
+        cfg = cfg.replace(cred_csv_path=args.cred)
+    if args.out:
+        cfg = cfg.replace(out_dir=args.out)
+    graph = BipartiteGraph.load_npz(args.graph)
+    print(f"Loaded edges. {graph.summary()}")
+    trainer = RecTrainer(cfg, graph)
+    ck = TrainCheckpointer(Path(args.out) / "ckpt") if (
+        args.out and args.checkpoint) else None
+    result = trainer.fit(checkpointer=ck, resume=args.resume)
+    if args.out:
+        save_params_npz(Path(args.out) / "best_model.npz", result.best_params)
+        with open(Path(args.out) / "test_metrics.json", "w") as f:
+            json.dump({str(k): v for k, v in result.test_metrics.items()}, f,
+                      indent=2, default=float)
+
+
+def cmd_evaluate(args):
+    from ..configs.presets import get_preset
+    from ..graph.build import BipartiteGraph
+    from ..train.checkpoint import load_params_npz
+    from ..train.trainer import RecTrainer, format_metrics_block
+
+    cfg = get_preset(args.preset).with_overrides(args.overrides)
+    if args.cred:
+        cfg = cfg.replace(cred_csv_path=args.cred)
+    graph = BipartiteGraph.load_npz(args.graph)
+    trainer = RecTrainer(cfg, graph)
+    params = load_params_npz(args.params)
+    res = trainer.evaluate(params, args.split)
+    print(format_metrics_block(args.split.upper(), res))
+    print(json.dumps({str(k): v for k, v in res.items()}, default=float))
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="bb-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("build-graph", help="JSONL -> bipartite graph npz")
+    p.add_argument("--jsonl", required=True)
+    p.add_argument("--out", required=True)
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_build_graph)
+
+    p = sub.add_parser("train-cred", help="Stage A: train credibility model")
+    p.add_argument("--jsonl", required=True)
+    p.add_argument("--out", required=True)
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_train_cred)
+
+    p = sub.add_parser("train-rec", help="Stage B: train a LightGCN variant")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--preset", default="vanilla")
+    p.add_argument("--cred", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--checkpoint", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_train_rec)
+
+    p = sub.add_parser("evaluate", help="evaluate saved params")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--params", required=True)
+    p.add_argument("--preset", default="vanilla")
+    p.add_argument("--cred", default=None)
+    p.add_argument("--split", default="test")
+    _add_overrides(p)
+    p.set_defaults(fn=cmd_evaluate)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,11 +59,20 @@ def build_user_labels(table: InteractionTable,
     fake <= 0.3 (main.py:153-196, rule constants main.py:63-65)."""
     cfg = cfg or CredConfig()
     U = table.num_users
-    uidx = table.uidx.astype(np.int64)
-    total = np.bincount(uidx, minlength=U)
-    hv = np.nan_to_num(table.helpful_vote, nan=0.0)
-    helpful = np.bincount(uidx, weights=(hv > cfg.helpful_vote_threshold),
-                          minlength=U).astype(np.int64)
+    lt = table.extra.get("label_total")
+    lh = table.extra.get("label_helpful")
+    if lt is not None and cfg.helpful_vote_threshold == 5:
+        # all-records counters from ingest: the reference's step1 counts
+        # every record with a user_id, even when item/rating are missing
+        # (main.py:163-176)
+        total = np.array([lt.get(u, 0) for u in table.user_ids], np.int64)
+        helpful = np.array([lh.get(u, 0) for u in table.user_ids], np.int64)
+    else:
+        uidx = table.uidx.astype(np.int64)
+        total = np.bincount(uidx, minlength=U)
+        hv = np.nan_to_num(table.helpful_vote, nan=0.0)
+        helpful = np.bincount(uidx, weights=(hv > cfg.helpful_vote_threshold),
+                              minlength=U).astype(np.int64)
     Ru = np.where(total > 0, helpful / np.maximum(total, 1), 0.0)
     label = np.full(U, LABEL_TO_INT["unlabeled"], np.int64)
     label[Ru >= cfg.ru_genuine_th] = LABEL_TO_INT["genuine"]

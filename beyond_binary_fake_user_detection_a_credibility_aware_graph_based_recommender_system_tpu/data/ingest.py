@@ -180,7 +180,9 @@ def ingest_jsonl(path, cfg: Optional[IngestConfig] = None,
     if cfg.backend in ("auto", "native"):
         try:
             from .native import ingest_native
-            out = ingest_native.ingest_jsonl_native(path, cfg, with_text_stats)
+            out = ingest_native.ingest_jsonl_native(
+                path, cfg, with_text_stats,
+                collect_token_hashes=collect_token_hashes)
             if out is not None:
                 return out
         except ImportError:

@@ -1,0 +1,119 @@
+"""Bipartite user-item heterograph with edge attributes (Stage A).
+
+Reference: ``pass1_build_maps_and_stats`` / ``pass2_write_edges`` / PyG
+export (/root/reference/main.py:423-606).  Parity semantics:
+
+  * id spaces intern over ALL records with (user, item, rating) present, in
+    encounter order — every such record is one edge (duplicates included);
+  * user node features: the per-user engineered feature vector (Ru + 6/8);
+  * user labels: {fake: 0, genuine: 1, unlabeled: -1};
+  * item node features: [mean_rating, count];
+  * 5 edge attributes in order (main.py:71): verified, rating_align =
+    1 - |r - rbar_i|/4, rating, timestamp_norm = (ts-min)/(max-min),
+    helpful_vote; missing timestamp/helpful give NaN, exactly like
+    ``safe_float`` in the reference (NaN timestamps fall outside BOTH
+    temporal views, matching the reference's NaN-compare filtering).
+
+The memmap/PyG export becomes a single columnar npz artifact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..data.features import LABEL_TO_INT, UserFeatures
+from ..data.ingest import InteractionTable
+
+
+@dataclass
+class HeteroGraph:
+    user_x: np.ndarray            # (U, F) float32
+    user_y: np.ndarray            # (U,) int64 in {0, 1, -1}
+    item_x: np.ndarray            # (I, 2) float32 [mean_rating, count]
+    edges: np.ndarray             # (2, E) int32 [user; item]
+    edge_attr: np.ndarray         # (E, 5) float32
+    feature_keys: List[str]
+    user_ids: Optional[List[str]] = None
+
+    EDGE_ATTR_KEYS = ("verified", "rating_align", "rating", "timestamp_norm",
+                      "helpful_vote")
+
+    @property
+    def num_users(self) -> int:
+        return int(self.user_x.shape[0])
+
+    @property
+    def num_items(self) -> int:
+        return int(self.item_x.shape[0])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edges.shape[1])
+
+    def save_npz(self, path) -> None:
+        np.savez_compressed(
+            path, user_x=self.user_x, user_y=self.user_y, item_x=self.item_x,
+            edges=self.edges, edge_attr=self.edge_attr,
+            feature_keys=np.asarray(self.feature_keys, dtype=object),
+            user_ids=np.asarray(self.user_ids or [], dtype=object),
+            allow_pickle=True)
+
+    @classmethod
+    def load_npz(cls, path) -> "HeteroGraph":
+        z = np.load(path, allow_pickle=True)
+        return cls(user_x=z["user_x"], user_y=z["user_y"], item_x=z["item_x"],
+                   edges=z["edges"], edge_attr=z["edge_attr"],
+                   feature_keys=list(z["feature_keys"]),
+                   user_ids=list(z["user_ids"]) or None)
+
+
+def build_heterograph(table: InteractionTable,
+                      features: UserFeatures) -> HeteroGraph:
+    U, I, E = table.num_users, table.num_items, table.num_records
+    uidx = table.uidx.astype(np.int64)
+    iidx = table.iidx.astype(np.int64)
+    r = table.rating.astype(np.float64)
+
+    # item stats over valid float ratings (main.py:466-469)
+    item_cnt = np.bincount(iidx, minlength=I).astype(np.float64)
+    item_sum = np.bincount(iidx, weights=r, minlength=I)
+    item_mean = item_sum / np.maximum(item_cnt, 1.0)
+    item_x = np.stack([item_mean, item_cnt], axis=1).astype(np.float32)
+
+    user_y = features.labels.label.astype(np.int64)
+
+    # timestamp normalization over records WITH a timestamp (main.py:520-526)
+    ts = table.timestamp.astype(np.float64)
+    has_ts = table.timestamp >= 0
+    if has_ts.any():
+        ts_min, ts_max = ts[has_ts].min(), ts[has_ts].max()
+    else:
+        ts_min = ts_max = 0.0
+    denom = ts_max - ts_min
+    tsn = np.full(E, np.nan)
+    if denom > 0:
+        tsn[has_ts] = (ts[has_ts] - ts_min) / denom
+
+    align = 1.0 - np.abs(r - item_mean[iidx]) / 4.0
+    hv = table.helpful_vote.astype(np.float64)
+
+    edge_attr = np.stack([
+        table.verified.astype(np.float64),
+        align,
+        r,
+        tsn,
+        hv,
+    ], axis=1).astype(np.float32)
+
+    return HeteroGraph(
+        user_x=features.values.astype(np.float32),
+        user_y=user_y,
+        item_x=item_x,
+        edges=np.stack([uidx, iidx]).astype(np.int32),
+        edge_attr=edge_attr,
+        feature_keys=list(features.keys),
+        user_ids=list(table.user_ids),
+    )

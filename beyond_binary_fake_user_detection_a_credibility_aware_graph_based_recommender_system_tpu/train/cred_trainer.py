@@ -1,0 +1,188 @@
+"""Stage-A trainer: credibility model training + score export.
+
+Reference harness: ``train_and_export_credibility``
+(/root/reference/main.py:609-1025).  Loss (Eq 3.18-3.21, main.py:894-963):
+
+  L = BCE(labeled seed users, early view)
+    + 0.1 * smoothness(early-view edges, normalized EWA weights)
+    + 0.1 * InfoNCE(h_u2_early[seed], h_u2_late[seed], tau=0.2)
+
+Training population: 80% shuffled split of the labeled users
+(main.py:886-893), batches of 2048, Adam 1e-3, 100 epochs.
+
+TPU-native differences (documented, deliberate):
+  * full-graph forward per step instead of SLAS-sampled 2-hop subgraphs —
+    the propagation is two weighted segment-sums over ~E edges, trivially
+    chip-resident at reference scale (SURVEY.md §7 step 7); SLAS sampling
+    remains available in ops/slas.py for beyond-chip graphs;
+  * smoothness runs over ALL early-view edges each step (the reference's
+    subgraph restriction was an artifact of sampling, not the loss);
+  * one jitted step; epoch loop is a `lax.scan` over seed-user batches.
+
+Export parity (main.py:965-1025): full-graph inference with no temporal
+view, min-max normalization (constant -> zeros), ``credibility_scores.npy``
++ ``user_id,user_idx,credibility`` CSV + params checkpoint.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.cred_io import save_credibility_csv
+from ..graph.hetero import HeteroGraph
+from ..models import losses
+from ..models.cred_model import CredModel, Params
+from ..utils.config import CredConfig
+from .checkpoint import save_params_npz
+
+
+@dataclass
+class CredFitResult:
+    params: Params
+    cred_raw: np.ndarray          # (U,) raw sigmoid scores
+    cred_minmax: np.ndarray       # (U,) min-max normalized
+    history: list = field(default_factory=list)
+
+
+class CredTrainer:
+    def __init__(self, hg: HeteroGraph, cfg: Optional[CredConfig] = None,
+                 backend: str = "xla", verbose: bool = True):
+        self.cfg = cfg or CredConfig()
+        self.hg = hg
+        self.verbose = verbose
+        self.model = CredModel(hg, self.cfg, backend=backend)
+        self.optimizer = optax.adam(self.cfg.lr)
+
+        labeled = np.nonzero(hg.user_y >= 0)[0]
+        if labeled.size == 0:
+            raise RuntimeError(
+                "No labeled users found (y>=0). Check Ru labeling output.")
+        rng = np.random.default_rng(self.cfg.seed)
+        rng.shuffle(labeled)
+        split = int(0.8 * labeled.size)
+        self.train_users = np.sort(labeled[:split])
+        self.holdout_users = np.sort(labeled[split:])
+        self._log(f"[CRED] labeled users={labeled.size:,} | "
+                  f"train={self.train_users.size:,}")
+
+        self.user_y = jnp.asarray(hg.user_y)
+        self._epoch_fn = None
+
+    def _log(self, msg):
+        if self.verbose:
+            print(msg)
+
+    # ------------------------------------------------------------------
+    def _loss(self, params: Params, seed_users: jax.Array, mask: jax.Array):
+        cfg = self.cfg
+        pred1, h_u2_1, h_i1_1 = self.model.forward(params, "early")
+        v1 = self.model.views["early"]
+        _, h_u2_2, _ = self.model.forward(params, "late")
+
+        y = self.user_y[seed_users]
+        keep = (y >= 0) & mask
+        loss_sup = losses.masked_bce(pred1[seed_users],
+                                     y.astype(jnp.float32), keep)
+
+        loss_smooth = losses.smoothness_loss(
+            h_u2_1, h_i1_1, v1.src, v1.dst, v1.w_u2i_norm, min_w=0.0)
+
+        loss_cont = losses.info_nce(h_u2_1[seed_users], h_u2_2[seed_users],
+                                    tau=cfg.tau_temp)
+
+        return (loss_sup + cfg.lambda_smooth * loss_smooth
+                + cfg.lambda_cont * loss_cont)
+
+    def _build_epoch_fn(self):
+        cfg = self.cfg
+        B = min(cfg.batch_size, self.train_users.size)
+        n = self.train_users.size
+        nb = -(-n // B)
+        n_pad = nb * B
+        train_users_dev = jnp.asarray(self.train_users, jnp.int32)
+
+        def epoch_fn(params, opt_state, key):
+            kperm, key = jax.random.split(key)
+            perm = jax.random.permutation(kperm, train_users_dev)
+            pad = jnp.zeros((n_pad - n,), jnp.int32)
+            users_all = jnp.concatenate([perm, pad]).reshape(nb, B)
+            mask_all = (jnp.arange(n_pad) < n).reshape(nb, B)
+
+            def step(carry, batch):
+                params, opt_state = carry
+                users, mask = batch
+                loss, grads = jax.value_and_grad(self._loss)(params, users,
+                                                             mask)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), batch_losses = jax.lax.scan(
+                step, (params, opt_state), (users_all, mask_all))
+            return params, opt_state, key, jnp.mean(batch_losses)
+
+        return jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None) -> CredFitResult:
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        key = jax.random.PRNGKey(cfg.seed)
+        key, kinit = jax.random.split(key)
+        params = self.model.init(kinit)
+        opt_state = self.optimizer.init(params)
+
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+
+        history = []
+        for ep in range(1, epochs + 1):
+            t0 = time.perf_counter()
+            params, opt_state, key, loss = self._epoch_fn(params, opt_state,
+                                                          key)
+            loss = float(loss)
+            history.append({"epoch": ep, "loss": loss,
+                            "seconds": time.perf_counter() - t0})
+            self._log(f"[CRED] Epoch {ep:02d} | loss={loss:.4f}")
+
+        cred_raw = np.asarray(self.infer(params))
+        cmin, cmax = float(cred_raw.min()), float(cred_raw.max())
+        if (cmax - cmin) < 1e-12:
+            cred_minmax = np.zeros_like(cred_raw, np.float32)
+        else:
+            cred_minmax = ((cred_raw - cmin) / (cmax - cmin)).astype(np.float32)
+        self._log(f"[CRED] Raw cred: min={cmin:.6g}, max={cmax:.6g}")
+        p10, p50, p90, p99 = np.percentile(cred_minmax, [10, 50, 90, 99])
+        self._log(f"[CRED] Percentiles: p10={p10:.4f}, p50={p50:.4f}, "
+                  f"p90={p90:.4f}, p99={p99:.4f}")
+        return CredFitResult(params=params, cred_raw=cred_raw,
+                             cred_minmax=cred_minmax, history=history)
+
+    def infer(self, params: Params) -> jax.Array:
+        """Full-graph inference with no temporal view (main.py:965-984)."""
+        cred, _, _ = jax.jit(lambda p: self.model.forward(p, None))(params)
+        return cred
+
+    # ------------------------------------------------------------------
+    def export(self, result: CredFitResult, out_dir) -> Dict[str, str]:
+        """npy + CSV + params, the Stage-A/B contract (main.py:986-1025)."""
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        npy = out / "credibility_scores_minmax.npy"
+        csv = out / "credibility_scores_minmax_with_user_id.csv"
+        ckpt = out / "cred_model.npz"
+        np.save(npy, result.cred_minmax)
+        save_credibility_csv(csv, result.cred_minmax, self.hg.user_ids)
+        save_params_npz(ckpt, result.params)
+        self._log(f"[CRED] Saved: {npy}\n[CRED] Saved: {csv}\n"
+                  f"[CRED] Saved: {ckpt}")
+        return {"npy": str(npy), "csv": str(csv), "ckpt": str(ckpt)}

@@ -17,15 +17,20 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 
 def _coerce(value: str, typ) -> Any:
-    """Coerce a CLI string to a dataclass field type."""
-    if typ is bool or typ == Optional[bool]:
+    """Coerce a CLI string to a dataclass field type.  With ``from
+    __future__ import annotations`` the field type is its *string* form, so
+    match on names."""
+    name = typ if isinstance(typ, str) else getattr(typ, "__name__", str(typ))
+    if "bool" in name:
         return value.lower() in ("1", "true", "yes", "on")
-    if typ is int or typ == Optional[int]:
+    if "int" in name and "Tuple" not in name and "tuple" not in name:
         return int(value)
-    if typ is float or typ == Optional[float]:
+    if "float" in name:
         return float(value)
-    if typ in (Tuple[int, ...], tuple):
+    if "Tuple" in name or "tuple" in name:
         return tuple(int(v) for v in value.strip("()").split(",") if v)
+    if "Optional[str]" in name or name == "str":
+        return value
     return value
 
 

@@ -55,12 +55,21 @@ def main():
     graph = build_bipartite_graph(table)
     print(f"[e2e] graph: {graph.summary()}")
 
-    # Placeholder cred scores through the CSV contract (Stage A writes the
-    # same schema).
-    cred = np.random.default_rng(1).uniform(0.1, 1.0,
-                                            graph.num_users).astype(np.float32)
-    cred_csv = tmp / "cred.csv"
-    save_credibility_csv(cred_csv, cred, graph.user_ids)
+    # Stage A: train the credibility model and export the CSV contract.
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.hetero import (
+        build_heterograph)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.cred_trainer import (
+        CredTrainer)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
+        CredConfig)
+    hg = build_heterograph(table, feats)
+    cred_trainer = CredTrainer(hg, CredConfig(epochs=10, batch_size=64),
+                               verbose=False)
+    cred_res = cred_trainer.fit()
+    paths = cred_trainer.export(cred_res, tmp)
+    cred_csv = paths["csv"]
+    print(f"[e2e] stage-A cred scores: p50="
+          f"{float(np.median(cred_res.cred_minmax)):.4f}")
 
     cfg = get_preset("pop_extended").replace(
         batch_size=128, epochs=8, sampled_negatives=30, Ks=(5, 10),

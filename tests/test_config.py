@@ -1,0 +1,61 @@
+"""Config system: overrides, coercion, serialization, preset table."""
+
+import pytest
+
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.configs.presets import PRESETS, get_preset
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
+    CredConfig, IngestConfig, RecConfig)
+
+
+def test_override_coercion_types():
+    cfg = RecConfig().with_overrides([
+        "epochs=7", "lr=0.01", "extended_metrics=true", "Ks=5,25",
+        "name=x", "cred_csv_path=/tmp/c.csv"])
+    assert cfg.epochs == 7 and isinstance(cfg.epochs, int)
+    assert cfg.lr == 0.01 and isinstance(cfg.lr, float)
+    assert cfg.extended_metrics is True
+    assert cfg.Ks == (5, 25)
+    assert cfg.name == "x"
+    assert cfg.cred_csv_path == "/tmp/c.csv"
+
+
+def test_override_unknown_key():
+    with pytest.raises(ValueError, match="Unknown config key"):
+        RecConfig().with_overrides(["nope=1"])
+    with pytest.raises(ValueError, match="key=value"):
+        RecConfig().with_overrides(["no_equals"])
+
+
+def test_dict_roundtrip():
+    cfg = RecConfig(epochs=3, Ks=(1, 2))
+    d = cfg.to_dict()
+    cfg2 = RecConfig.from_dict({**d, "Ks": tuple(d["Ks"])})
+    assert cfg2.epochs == 3
+    with pytest.raises(ValueError, match="Unknown config keys"):
+        RecConfig.from_dict({"bogus": 1})
+
+
+def test_presets_validate():
+    for name, cfg in PRESETS.items():
+        cfg.validate()
+    assert get_preset("vanilla").propagation == "symmetric"
+    assert get_preset("pop_neg").negative_sampler == "popmix"
+    assert get_preset("cred_eq322").lambda_fair == 0.0
+    assert get_preset("cred_eq322_fair").lambda_fair == pytest.approx(1e-2)
+    assert get_preset("vanilla", epochs=5).epochs == 5
+    with pytest.raises(KeyError):
+        get_preset("nope")
+
+
+def test_validate_rejects_bad_combo():
+    with pytest.raises(AssertionError):
+        RecConfig(propagation="symmetric", weight_mode="cu_message").validate()
+
+
+def test_cred_ingest_defaults():
+    c = CredConfig()
+    assert c.helpful_vote_threshold == 5
+    assert c.tau_ms == 86400_000
+    i = IngestConfig()
+    assert i.pos_rating_threshold == 4.0
+    assert (i.train_p, i.val_p, i.test_p) == (0.80, 0.10, 0.10)

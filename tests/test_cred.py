@@ -1,0 +1,187 @@
+"""Stage-A: heterograph, CredModel forward, trainer, export contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.data.features import compute_user_features
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.hetero import HeteroGraph, build_heterograph
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.models import cred_model as cm
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.cred_trainer import CredTrainer
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import CredConfig
+
+from test_features import _mk_table
+
+
+@pytest.fixture(scope="module")
+def hg():
+    rng = np.random.default_rng(9)
+    table = _mk_table(rng, U=40, I=25, N=600)
+    # force a usable label distribution
+    table.helpful_vote = np.where(rng.random(600) < 0.4,
+                                  rng.integers(6, 20, 600), 0).astype(np.float32)
+    feats = compute_user_features(table)
+    return build_heterograph(table, feats)
+
+
+def test_heterograph_shapes_and_attrs(hg):
+    assert hg.user_x.shape == (40, 7)
+    assert hg.item_x.shape == (25, 2)
+    assert hg.edges.shape == (2, 600)
+    assert hg.edge_attr.shape == (600, 5)
+    # rating_align in [something, 1]; timestamp_norm in [0,1] or nan
+    align = hg.edge_attr[:, 1]
+    assert np.nanmax(align) <= 1.0 + 1e-6
+    tsn = hg.edge_attr[:, 3]
+    valid = ~np.isnan(tsn)
+    assert valid.any() and (~valid).any()  # table has missing timestamps
+    assert tsn[valid].min() >= 0 and tsn[valid].max() <= 1.0
+    # item_x mean consistent
+    i0 = int(hg.edges[1, 0])
+    sel = hg.edges[1] == i0
+    np.testing.assert_allclose(hg.item_x[i0, 0],
+                               hg.edge_attr[sel, 2].mean(), rtol=1e-5)
+
+
+def test_heterograph_roundtrip(hg, tmp_path):
+    p = tmp_path / "hg.npz"
+    hg.save_npz(p)
+    h2 = HeteroGraph.load_npz(p)
+    np.testing.assert_array_equal(h2.edges, hg.edges)
+    np.testing.assert_allclose(h2.edge_attr, hg.edge_attr)
+    assert h2.feature_keys == hg.feature_keys
+
+
+def test_ewa_weights_formula(hg):
+    w = cm.ewa_raw_weights(hg.edge_attr)
+    expect = np.maximum(np.clip(hg.edge_attr[:, 0], 0, 1)
+                        + hg.edge_attr[:, 1], 0.0)
+    np.testing.assert_allclose(w, expect, rtol=1e-6)
+
+
+def test_temporal_masks_partition(hg):
+    early = cm.temporal_edge_mask(hg.edge_attr, "early")
+    late = cm.temporal_edge_mask(hg.edge_attr, "late")
+    nan_ts = np.isnan(hg.edge_attr[:, 3])
+    assert not (early & late).any()
+    # NaN timestamps are in neither view (reference NaN-compare semantics)
+    assert not (early | late)[nan_ts].any()
+    assert ((early | late) == ~nan_ts).all()
+
+
+def test_cred_forward_matches_dense_oracle(hg):
+    """Full-graph forward vs a dense numpy reimplementation of
+    CredModel.forward_subgraph (main.py:690-707)."""
+    cfg = CredConfig(hidden_dim=8)
+    model = cm.CredModel(hg, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    cred, h_u2, h_i1 = jax.jit(
+        lambda p: model.forward(p, "early"))(params)
+
+    # dense oracle
+    U, I = hg.num_users, hg.num_items
+    u, i = hg.edges[0].astype(int), hg.edges[1].astype(int)
+    w = cm.ewa_raw_weights(hg.edge_attr) * cm.temporal_edge_mask(
+        hg.edge_attr, "early")
+    p = {k: np.asarray(v, np.float64) for k, v in params.items()}
+    xu = np.nan_to_num(hg.user_x).astype(np.float64)
+    xi = np.nan_to_num(hg.item_x).astype(np.float64)
+    h_u0 = xu @ p["user_proj_w"] + p["user_proj_b"]
+    h_i0 = xi @ p["item_proj_w"] + p["item_proj_b"]
+    den_i = np.zeros(I)
+    np.add.at(den_i, i, w)
+    w1t = w / (den_i[i] + 1e-12)
+    m_i = np.zeros((I, 8))
+    np.add.at(m_i, i, w1t[:, None] * h_u0[u])
+    hi1 = np.maximum(np.concatenate([h_i0, m_i], 1) @ p["item_upd_w"]
+                     + p["item_upd_b"], 0)
+    den_u = np.zeros(U)
+    np.add.at(den_u, u, w)
+    w2t = w / (den_u[u] + 1e-12)
+    m_u = np.zeros((U, 8))
+    np.add.at(m_u, u, w2t[:, None] * hi1[i])
+    hu2 = np.maximum(np.concatenate([h_u0, m_u], 1) @ p["user_upd_w"]
+                     + p["user_upd_b"], 0)
+    exp_cred = 1 / (1 + np.exp(-(hu2 @ p["out_w"] + p["out_b"]).squeeze(-1)))
+
+    np.testing.assert_allclose(np.asarray(h_i1), hi1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_u2), hu2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cred), exp_cred, rtol=1e-4, atol=1e-5)
+
+
+def test_cred_trainer_learns_and_exports(hg, tmp_path):
+    cfg = CredConfig(hidden_dim=16, epochs=30, batch_size=32, lr=1e-2)
+    tr = CredTrainer(hg, cfg, verbose=False)
+    res = tr.fit()
+    assert res.history[-1]["loss"] < res.history[0]["loss"]
+    assert res.cred_minmax.min() >= 0.0 and res.cred_minmax.max() <= 1.0
+    assert res.cred_minmax.max() == 1.0  # min-max normalized
+
+    # BCE signal: labeled-user predictions should separate classes
+    y = hg.user_y
+    lab = y >= 0
+    if (y == 1).any() and (y == 0).any():
+        assert res.cred_raw[y == 1].mean() > res.cred_raw[y == 0].mean()
+
+    paths = tr.export(res, tmp_path / "out")
+    import os
+    for p in paths.values():
+        assert os.path.exists(p)
+
+    # CSV round-trips through the Stage-B loader
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.data.cred_io import (
+        load_credibility_vector)
+    got = load_credibility_vector(paths["csv"], hg.num_users,
+                                  {u: k for k, u in enumerate(hg.user_ids)},
+                                  verbose=False)
+    np.testing.assert_allclose(got, res.cred_minmax, atol=2e-6)
+
+
+def test_slas_sampler(hg):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops.slas import SlasSampler
+    s = SlasSampler.build(hg)
+    users = jnp.arange(10, dtype=jnp.int32)
+    items_drawn, mask = s.sample_items_for_users(jax.random.PRNGKey(0),
+                                                 users, 5)
+    # every valid draw must be a true neighbor
+    u_csr = {u: set() for u in range(hg.num_users)}
+    for u, i in hg.edges.T:
+        u_csr[int(u)].add(int(i))
+    got = np.asarray(items_drawn)
+    m = np.asarray(mask)
+    for b, u in enumerate(np.asarray(users)):
+        drawn = got[b][m[b]]
+        assert set(drawn.tolist()) <= u_csr[int(u)]
+        # sampling is without replacement over CSR *slots* (duplicate edges
+        # to the same item may legally repeat — reference main.py:781-784
+        # samples positions of u_nbr_items, which also contains duplicates)
+
+    users_drawn, umask = s.sample_users_for_items(jax.random.PRNGKey(1),
+                                                  jnp.arange(8, dtype=jnp.int32), 4)
+    i_csr = {i: set() for i in range(hg.num_items)}
+    for u, i in hg.edges.T:
+        i_csr[int(i)].add(int(u))
+    got_u = np.asarray(users_drawn)
+    mu = np.asarray(umask)
+    for b in range(8):
+        drawn = got_u[b][mu[b]]
+        assert set(drawn.tolist()) <= i_csr[b]
+
+
+def test_slas_temporal_view(hg):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops.slas import SlasSampler
+    s = SlasSampler.build(hg)
+    users = jnp.arange(hg.num_users, dtype=jnp.int32)
+    items_e, mask_e = s.sample_items_for_users(jax.random.PRNGKey(2), users,
+                                               6, view="early")
+    # all drawn edges must be early-view edges
+    early_pairs = set()
+    early = cm.temporal_edge_mask(hg.edge_attr, "early")
+    for k in np.nonzero(early)[0]:
+        early_pairs.add((int(hg.edges[0, k]), int(hg.edges[1, k])))
+    got = np.asarray(items_e)
+    m = np.asarray(mask_e)
+    for b in range(hg.num_users):
+        for item in got[b][m[b]]:
+            assert (b, int(item)) in early_pairs
