@@ -85,7 +85,7 @@ class SpmmOperator:
     """
 
     def __init__(self, edge_map: EdgeMap, backend: str = "xla",
-                 block_rows: int = 256, chunk_edges: int = 512):
+                 block_rows: int = 512, chunk_edges: int = 256):
         self.backend = resolve_backend(backend)
         self.num_src = edge_map.num_src
         self.num_dst = edge_map.num_dst

@@ -5,12 +5,15 @@ This is the north-star kernel (SURVEY.md C35, §7 step 2) replacing
 scatter-add to serialized updates.  Instead we reformulate the irregular
 per-destination reduction as a sequence of small dense matmuls:
 
-  1. Host planning (once per graph): edges are sorted by destination, empty
-     destination rows are compressed out (ranks are dense), compressed rows
-     are partitioned into blocks of ``R`` rows, and each block's contiguous
-     edge run is padded to a multiple of ``T`` edges.  Load is therefore
-     balanced by *edge count*, not node count — a power-law hub row simply
-     owns more chunks (SURVEY.md §7 "hard parts").
+  1. Host planning (once per graph): edges are sorted by destination;
+     destination rows are partitioned into fixed blocks of ``R`` rows, and
+     each block's contiguous edge run is padded to a multiple of ``T``
+     edges (every block owns at least one chunk so its accumulator gets
+     zero-initialized).  Work is balanced by *edge count*, not node count —
+     a power-law hub row simply owns more chunks (SURVEY.md §7 "hard
+     parts").  Blocks cover RAW row ranges: the output is a plain slice, no
+     decompression pass (a compressed-row variant spent ~2ms/call
+     re-gathering 262K rows back to the full destination space).
   2. Device: messages ``msg[e] = w[e] * x[src[e]]`` come from an XLA fused
      gather.  The kernel walks edge chunks on a 1-D sequential grid; for
      each chunk it builds a one-hot ``(R, T)`` matrix from the edges' local
@@ -19,8 +22,6 @@ per-destination reduction as a sequence of small dense matmuls:
      metadata (block id, first-chunk flag) drives the output block index
      map, so consecutive chunks of one block revisit the same VMEM buffer
      with no HBM round-trip.
-  3. Decompression back to the full destination space is a gather
-     (masked for absent rows) — never a scatter.
 
 Cost per edge is R*D*2 one-hot MACs — at R=256, D<=128 this is far below
 the MXU roofline, leaving the kernel HBM-bandwidth-bound as SpMM should be.
@@ -35,8 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_BLOCK_ROWS = 256     # R: compressed destination rows per output block
-DEFAULT_CHUNK_EDGES = 256    # T: edges per grid step
+DEFAULT_BLOCK_ROWS = 512     # R: destination rows per output block (v5e sweep)
+DEFAULT_CHUNK_EDGES = 256    # T: edges per grid step (v5e sweep: T=256/R=512 best at reference scale)
 
 
 @dataclass(frozen=True)
@@ -47,8 +48,6 @@ class PallasSegmentPlan:
     local_ids: jax.Array       # (1, E_pad) int32 row id within block (pad -> R)
     block_id: jax.Array        # (G,) int32 output block per chunk
     first_chunk: jax.Array     # (G,) int32 1 if first chunk of its block
-    rank_map: jax.Array        # (num_dst,) int32 dst row -> compressed row
-    present: jax.Array         # (num_dst,) bool dst row has any edge
     num_dst: int
     num_src: int
     num_blocks: int
@@ -60,7 +59,7 @@ class PallasSegmentPlan:
 jax.tree_util.register_dataclass(
     PallasSegmentPlan,
     data_fields=["src_padded", "w_padded", "local_ids", "block_id",
-                 "first_chunk", "rank_map", "present"],
+                 "first_chunk"],
     meta_fields=["num_dst", "num_src", "num_blocks", "block_rows",
                  "chunk_edges", "interpret"])
 
@@ -75,27 +74,23 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     E = int(src.shape[0])
     num_src = int(num_src if num_src is not None else (src.max() + 1 if E else 1))
 
+    num_blocks = max(-(-num_dst // R), 1)
     if E == 0:
-        # degenerate single empty chunk
+        # degenerate: every block still needs its zeroing chunk
+        G0 = num_blocks
         return PallasSegmentPlan(
-            src_padded=jnp.zeros((T,), jnp.int32),
-            w_padded=jnp.zeros((T,), jnp.float32),
-            local_ids=jnp.full((1, T), R, jnp.int32),
-            block_id=jnp.zeros((1,), jnp.int32),
-            first_chunk=jnp.ones((1,), jnp.int32),
-            rank_map=jnp.zeros((num_dst,), jnp.int32),
-            present=jnp.zeros((num_dst,), bool),
-            num_dst=num_dst, num_src=num_src, num_blocks=1,
+            src_padded=jnp.zeros((G0 * T,), jnp.int32),
+            w_padded=jnp.zeros((G0 * T,), jnp.float32),
+            local_ids=jnp.full((1, G0 * T), R, jnp.int32),
+            block_id=jnp.arange(G0, dtype=jnp.int32),
+            first_chunk=jnp.ones((G0,), jnp.int32),
+            num_dst=num_dst, num_src=num_src, num_blocks=num_blocks,
             block_rows=R, chunk_edges=T, interpret=interpret)
 
     dst = np.asarray(dst, np.int64)
     assert np.all(np.diff(dst) >= 0), "edges must be sorted by dst"
 
-    present_rows, cdst = np.unique(dst, return_inverse=True)
-    n_present = present_rows.shape[0]
-    num_blocks = -(-n_present // R)
-
-    blk_of_edge = cdst // R
+    blk_of_edge = dst // R
     edges_per_block = np.bincount(blk_of_edge, minlength=num_blocks)
     chunks_per_block = np.maximum(-(-edges_per_block // T), 1)
     padded_per_block = chunks_per_block * T
@@ -115,7 +110,7 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     lid_flat = np.full(E_pad, R, np.int32)
     src_padded[pos] = src
     w_padded[pos] = w
-    lid_flat[pos] = (cdst - blk_of_edge * R).astype(np.int32)
+    lid_flat[pos] = (dst - blk_of_edge * R).astype(np.int32)
 
     block_id = np.repeat(np.arange(num_blocks, dtype=np.int32),
                          chunks_per_block)
@@ -124,19 +119,12 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     np.cumsum(chunks_per_block[:-1], out=chunk_start[1:])
     first_chunk[chunk_start] = 1
 
-    rank_map = np.zeros(num_dst, np.int32)
-    rank_map[present_rows] = np.arange(n_present, dtype=np.int32)
-    present = np.zeros(num_dst, bool)
-    present[present_rows] = True
-
     return PallasSegmentPlan(
         src_padded=jnp.asarray(src_padded),
         w_padded=jnp.asarray(w_padded),
         local_ids=jnp.asarray(lid_flat.reshape(1, G * T)),
         block_id=jnp.asarray(block_id),
         first_chunk=jnp.asarray(first_chunk),
-        rank_map=jnp.asarray(rank_map),
-        present=jnp.asarray(present),
         num_dst=num_dst, num_src=num_src, num_blocks=int(num_blocks),
         block_rows=R, chunk_edges=T, interpret=interpret)
 
@@ -198,6 +186,4 @@ def apply_pallas(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
         interpret=plan.interpret,
     )(plan.block_id, plan.first_chunk, plan.local_ids, msg)
 
-    y = y_comp[plan.rank_map]
-    y = jnp.where(plan.present[:, None], y, 0.0).astype(x.dtype)
-    return y
+    return y_comp[:plan.num_dst].astype(x.dtype)

@@ -1,0 +1,81 @@
+"""Edge-sharded SpMM over the virtual 8-device mesh vs single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.operators import (
+    EdgeMap, symmetric_norm_edge_map)
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops.spmm import SpmmOperator
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.mesh import make_mesh
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.sharded_spmm import (
+    ShardedSpmmOperator)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, shape=(1, 8))
+
+
+def _random_edge_map(rng, num_src, num_dst, E):
+    return EdgeMap(
+        src=rng.integers(0, num_src, E).astype(np.int32),
+        dst=rng.integers(0, num_dst, E).astype(np.int32),
+        w=rng.normal(size=E).astype(np.float32),
+        num_src=num_src, num_dst=num_dst)
+
+
+def test_sharded_matches_dense(mesh, rng):
+    em = _random_edge_map(rng, num_src=67, num_dst=93, E=700)
+    op = ShardedSpmmOperator(em, mesh)
+    x = jnp.asarray(rng.normal(size=(em.num_src, 16)).astype(np.float32))
+    y = op(x)
+    expect = em.to_dense() @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_matches_single_device_operator(mesh, small_graph, rng):
+    em = symmetric_norm_edge_map(small_graph)
+    op_single = SpmmOperator(em, backend="xla")
+    op_sharded = ShardedSpmmOperator(em, mesh)
+    x = jnp.asarray(rng.normal(size=(em.num_src, 8)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(op_sharded(x)),
+                               np.asarray(op_single(x)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_backward_is_transpose(mesh, rng):
+    em = _random_edge_map(rng, num_src=50, num_dst=40, E=300)
+    op = ShardedSpmmOperator(em, mesh)
+    x = jnp.asarray(rng.normal(size=(em.num_src, 8)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(em.num_dst, 8)).astype(np.float32))
+    dx = jax.grad(lambda x: jnp.sum(op(x) * cot))(x)
+    expect = em.to_dense().T @ np.asarray(cot, np.float64)
+    np.testing.assert_allclose(np.asarray(dx), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_under_jit(mesh, rng):
+    em = _random_edge_map(rng, num_src=30, num_dst=30, E=200)
+    op = ShardedSpmmOperator(em, mesh)
+    x = jnp.asarray(rng.normal(size=(30, 8)).astype(np.float32))
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(op(x) ** 2)
+
+    g = jax.jit(jax.grad(f))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sharded_skewed_distribution(mesh, rng):
+    """All edges land on one device's range — correctness under skew."""
+    em = EdgeMap(src=rng.integers(0, 20, 100).astype(np.int32),
+                 dst=np.zeros(100, np.int32),   # all to row 0
+                 w=np.ones(100, np.float32), num_src=20, num_dst=64)
+    op = ShardedSpmmOperator(em, mesh)
+    x = jnp.asarray(rng.normal(size=(20, 8)).astype(np.float32))
+    y = np.asarray(op(x))
+    expect = em.to_dense() @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y[1:], 0.0)
