@@ -1,0 +1,89 @@
+"""Distributed full-catalog top-k retrieval.
+
+BASELINE.json north star: "dense scoring (dot-product recall@k over full
+item catalog) is a data-parallel top-k kernel ... evaluation via sharded
+matmul + distributed top-k".
+
+Scheme: the item table is row-sharded over the ``model`` axis.  Inside
+``shard_map`` each device scores the user batch against ITS item shard
+(dense (B, D) x (D, I/P) matmul on the MXU), takes a local top-k, offsets
+the local indices into global item ids, all-gathers the (B, P*k) candidate
+sets over ICI, and reduces with a final top-k.  Communication is O(B*k*P)
+instead of O(B*I).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+
+class ShardedTopK:
+    """Row-sharded dot-product retrieval over a device mesh."""
+
+    def __init__(self, mesh: Mesh, num_items: int):
+        self.mesh = mesh
+        self.num_items = num_items
+        self.n_dev = mesh.shape[MODEL_AXIS]
+        self.rows_per = -(-num_items // self.n_dev)
+        self.padded_items = self.rows_per * self.n_dev
+
+    def pad_items(self, item_emb: jax.Array) -> jax.Array:
+        """Pad the item table to shardable row count (pad rows score -inf
+        via a validity mask applied at query time)."""
+        I = item_emb.shape[0]
+        if I == self.padded_items:
+            return item_emb
+        return jnp.zeros((self.padded_items, item_emb.shape[1]),
+                         item_emb.dtype).at[:I].set(item_emb)
+
+    def topk(self, user_emb_batch: jax.Array, item_emb_padded: jax.Array,
+             k: int, exclude: Optional[jax.Array] = None
+             ) -> Tuple[jax.Array, jax.Array]:
+        """(values (B,k), item ids (B,k)).
+
+        ``exclude``: optional (B, Pmax) padded per-user item-id exclusion
+        lists (pad with num_items) — e.g. train interactions for the
+        full-catalog eval protocol (lightgcn.py:485-488).
+        """
+        mesh = self.mesh
+        rows_per = self.rows_per
+        num_items = self.num_items
+        n_dev = self.n_dev
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(MODEL_AXIS, None)),
+            out_specs=(P(), P()),
+            # outputs ARE replicated (tiled all_gather over the model axis);
+            # the static varying-mesh-axes check can't infer that
+            check_vma=False)
+        def f(u, items_local):
+            dev = jax.lax.axis_index(MODEL_AXIS)
+            scores = u @ items_local.T                        # (B, rows_per)
+            base = dev * rows_per
+            gids = base + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1)
+            valid = gids < num_items
+            scores = jnp.where(valid, scores, -jnp.inf)
+            loc_v, loc_i = jax.lax.top_k(scores, min(k, rows_per))
+            loc_g = jnp.take_along_axis(gids, loc_i, axis=1)
+            # gather candidates from every shard
+            all_v = jax.lax.all_gather(loc_v, MODEL_AXIS, axis=1, tiled=True)
+            all_g = jax.lax.all_gather(loc_g, MODEL_AXIS, axis=1, tiled=True)
+            return all_v, all_g
+
+        all_v, all_g = f(user_emb_batch, item_emb_padded)     # (B, P*k)
+        if exclude is not None:
+            hit = (all_g[:, :, None] == exclude[:, None, :]).any(-1)
+            all_v = jnp.where(hit, -jnp.inf, all_v)
+        v, idx = jax.lax.top_k(all_v, k)
+        ids = jnp.take_along_axis(all_g, idx, axis=1)
+        return v, ids

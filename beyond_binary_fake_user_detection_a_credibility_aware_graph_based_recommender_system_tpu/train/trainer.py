@@ -101,6 +101,8 @@ class RecTrainer:
 
         self.optimizer = optax.adam(cfg.lr)
         self._epoch_fn = None
+        # jit once: re-wrapping per call would retrace every epoch
+        self._propagate_fn = jax.jit(self.model.propagate)
 
     # ------------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None):
@@ -187,7 +189,7 @@ class RecTrainer:
                  extended: Optional[bool] = None):
         cfg = self.cfg
         extended = cfg.extended_metrics if extended is None else extended
-        user_emb, item_emb = jax.jit(self.model.propagate)(params)
+        user_emb, item_emb = self._propagate_fn(params)
         if cfg.eval_mode == "full":
             return evaluate_full(user_emb, item_emb, self.ctx, split,
                                  Ks=cfg.Ks, extended=extended, cred=self.cred,

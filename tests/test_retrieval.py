@@ -1,0 +1,50 @@
+"""Retrieval API: single-chip and mesh paths agree; exclusions honored."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.eval.retrieval import (
+    build_exclusion_rows, topk_for_users)
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.mesh import make_mesh
+
+
+def test_topk_basic_and_exclusion(small_graph, rng):
+    U, I, D = small_graph.num_users, small_graph.num_items, 8
+    user_emb = jnp.asarray(rng.normal(size=(U, D)).astype(np.float32))
+    item_emb = jnp.asarray(rng.normal(size=(I, D)).astype(np.float32))
+    excl = jnp.asarray(build_exclusion_rows(small_graph, "train"))
+    users = jnp.arange(20, dtype=jnp.int32)
+
+    scores, ids = topk_for_users(user_emb, item_emb, users, 10,
+                                 exclude_rows=excl)
+    tr = small_graph.user_csr("train")
+    for b, u in enumerate(np.asarray(users)):
+        seen = set(tr.row(int(u)).tolist())
+        assert not (set(np.asarray(ids[b]).tolist()) & seen)
+        assert np.all(np.diff(np.asarray(scores[b])) <= 1e-6)
+
+
+def test_topk_mesh_matches_single(small_graph, rng):
+    mesh = make_mesh(8, shape=(1, 8))
+    U, I, D = small_graph.num_users, small_graph.num_items, 8
+    user_emb = jnp.asarray(rng.normal(size=(U, D)).astype(np.float32))
+    item_emb = jnp.asarray(rng.normal(size=(I, D)).astype(np.float32))
+    excl = jnp.asarray(build_exclusion_rows(small_graph, "train"))
+    users = jnp.arange(16, dtype=jnp.int32)
+
+    s1, i1 = topk_for_users(user_emb, item_emb, users, 5, exclude_rows=excl)
+    s2, i2 = topk_for_users(user_emb, item_emb, users, 5, exclude_rows=excl,
+                            mesh=mesh)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+    for b in range(16):
+        assert set(np.asarray(i1[b]).tolist()) == set(np.asarray(i2[b]).tolist())
+
+
+def test_fast_hash_split_proportions():
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+        synthetic_bipartite_graph)
+    g = synthetic_bipartite_graph(2000, 1500, 10.0, seed=1, hash_split="fast")
+    tot = sum(g.edges(s).shape[1] for s in ("train", "val", "test"))
+    assert abs(g.train_edges.shape[1] / tot - 0.8) < 0.02
+    assert abs(g.val_edges.shape[1] / tot - 0.1) < 0.02
