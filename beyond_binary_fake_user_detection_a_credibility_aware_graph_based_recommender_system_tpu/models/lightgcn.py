@@ -74,22 +74,29 @@ class LightGCN:
 
     def __init__(self, cfg: RecConfig, graph: BipartiteGraph,
                  cred: Optional[np.ndarray] = None,
-                 backend: Optional[str] = None):
+                 backend: Optional[str] = None,
+                 operator_factory=None):
+        """``operator_factory(edge_map) -> callable`` lets the same model run
+        on single-chip SpmmOperators (default) or mesh-sharded ones
+        (parallel/sharded_spmm.ShardedSpmmOperator via functools.partial)."""
         cfg.validate()
         self.cfg = cfg
         self.num_users = graph.num_users
         self.num_items = graph.num_items
         backend = backend if backend is not None else cfg.spmm_backend
+        if operator_factory is None:
+            def operator_factory(em):
+                return SpmmOperator(em, backend=backend)
 
         maps = build_edge_maps(graph, cfg.weight_mode, cred)
         if cfg.propagation == "symmetric":
             assert isinstance(maps, EdgeMap)
-            self.joint_op = SpmmOperator(maps, backend=backend)
+            self.joint_op = operator_factory(maps)
             self.item_from_user = self.user_from_item = None
         else:
             item_from_user_map, user_from_item_map = maps
-            self.item_from_user = SpmmOperator(item_from_user_map, backend=backend)
-            self.user_from_item = SpmmOperator(user_from_item_map, backend=backend)
+            self.item_from_user = operator_factory(item_from_user_map)
+            self.user_from_item = operator_factory(user_from_item_map)
             self.joint_op = None
 
     # -- propagation ------------------------------------------------------

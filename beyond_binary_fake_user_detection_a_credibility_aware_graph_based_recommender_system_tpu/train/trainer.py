@@ -70,7 +70,8 @@ class FitResult:
 
 class RecTrainer:
     def __init__(self, cfg: RecConfig, graph: BipartiteGraph,
-                 cred: Optional[np.ndarray] = None, verbose: bool = True):
+                 cred: Optional[np.ndarray] = None, verbose: bool = True,
+                 operator_factory=None):
         cfg.validate()
         self.cfg = cfg
         self.graph = graph
@@ -82,7 +83,8 @@ class RecTrainer:
         self.cred = cred if cred is not None else np.ones(
             graph.num_users, np.float32)
 
-        self.model = LightGCN(cfg, graph, self.cred)
+        self.model = LightGCN(cfg, graph, self.cred,
+                              operator_factory=operator_factory)
         self.ctx = EvalContext.build(graph)
 
         deg_i = graph.train_item_degrees()

@@ -79,3 +79,31 @@ def test_sharded_skewed_distribution(mesh, rng):
     expect = em.to_dense() @ np.asarray(x, np.float64)
     np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(y[1:], 0.0)
+
+
+def test_sharded_model_propagate_matches_single(mesh, small_graph, rng):
+    """Full LightGCN propagate with mesh-sharded operators == single-chip."""
+    import functools
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.models.lightgcn import (
+        LightGCN, init_params)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import RecConfig
+
+    cred = rng.uniform(0.2, 1.0, small_graph.num_users).astype(np.float32)
+    for prop, wm in (("gauss_seidel", "cu_message"),
+                     ("bipartite_sync", "cred_eq322"),
+                     ("symmetric", "symmetric")):
+        cfg = RecConfig(propagation=prop, weight_mode=wm,
+                        table_layout="split" if prop != "symmetric" else "joint",
+                        emb_dim=8, num_layers=2)
+        params = init_params(jax.random.PRNGKey(0), cfg,
+                             small_graph.num_users, small_graph.num_items)
+        m_single = LightGCN(cfg, small_graph, cred)
+        m_sharded = LightGCN(
+            cfg, small_graph, cred,
+            operator_factory=functools.partial(ShardedSpmmOperator, mesh=mesh))
+        u1, i1 = m_single.propagate(params)
+        u2, i2 = m_sharded.propagate(params)
+        np.testing.assert_allclose(np.asarray(u2), np.asarray(u1),
+                                   rtol=1e-4, atol=1e-5, err_msg=prop)
+        np.testing.assert_allclose(np.asarray(i2), np.asarray(i1),
+                                   rtol=1e-4, atol=1e-5, err_msg=prop)
