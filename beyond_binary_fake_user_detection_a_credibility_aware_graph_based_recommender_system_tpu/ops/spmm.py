@@ -126,15 +126,11 @@ class SpmmOperator:
 
         _matvec.defvjp(_matvec_fwd, _matvec_bwd)
         self.apply: Callable[[jax.Array], jax.Array] = _matvec
+        self._bwd_apply = bwd_apply
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.apply(x)
 
     def transpose_apply(self, y: jax.Array) -> jax.Array:
-        """y -> A^T @ y (used directly by smoothness-style terms)."""
-        if self.backend == "pallas":
-            # transpose product == backward product; reuse the custom path by
-            # differentiating? Cheaper: re-dispatch the bwd plan.
-            return jax.vjp(self.apply, jnp.zeros((self.num_src, y.shape[-1]),
-                                                 y.dtype))[1](y)[0]
-        return _apply_xla(self._bwd, y)
+        """y -> A^T @ y (the pre-planned backward direction)."""
+        return self._bwd_apply(y)
