@@ -76,16 +76,20 @@ def make_step(graph, backend: str, emb_dim: int, num_layers: int,
     users_pool = jnp.asarray(
         np.resize(train_users, batch_size).astype(np.int32))
 
-    def step(params, opt_state, key):
+    # operator state + CSR flow through jit as arguments — closure capture
+    # would inline multi-GB edge constants into the program at 10M+ edges
+    bundle = {"model": model.state, "csr": train_csr}
+
+    def step(params, opt_state, key, bundle):
         key, ks = jax.random.split(key)
         users = users_pool
         kp, kn = jax.random.split(ks)
-        pos = sample_positives(kp, train_csr, users)
-        neg = sample_negatives_uniform(kn, train_csr, users, graph.num_items,
-                                       rounds=4)
+        pos = sample_positives(kp, bundle["csr"], users)
+        neg = sample_negatives_uniform(kn, bundle["csr"], users,
+                                       graph.num_items, rounds=4)
 
         def loss_fn(params):
-            ue, ie = model.propagate(params)
+            ue, ie = model.propagate(params, bundle["model"])
             pos_s = LightGCN.score(ue, ie, users, pos)
             neg_s = LightGCN.score(ue, ie, users, neg)
             l = losses.bpr_loss(pos_s, neg_s)
@@ -97,7 +101,12 @@ def make_step(graph, backend: str, emb_dim: int, num_layers: int,
         params = optax.apply_updates(params, updates)
         return params, opt_state, key, loss
 
-    return jax.jit(step, donate_argnums=(0, 1)), params, opt_state, cfg
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    def run_step(params, opt_state, key):
+        return jitted(params, opt_state, key, bundle)
+
+    return run_step, params, opt_state, cfg
 
 
 def time_step(step, params, opt_state, iters: int, warmup: int = 3):

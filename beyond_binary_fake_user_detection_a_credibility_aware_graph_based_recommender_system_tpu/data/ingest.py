@@ -147,17 +147,6 @@ class InteractionTable:
 _TOKEN_RE = None
 
 
-def tokenize_counts(text: str) -> Tuple[int, int]:
-    """(num_tokens, num_unique_tokens) with the reference tokenizer
-    ``[A-Za-z]+(?:'[A-Za-z]+)?`` lowercased (main.py:104-109)."""
-    global _TOKEN_RE
-    if _TOKEN_RE is None:
-        import re
-        _TOKEN_RE = re.compile(r"[A-Za-z]+(?:'[A-Za-z]+)?")
-    toks = _TOKEN_RE.findall(text.lower())
-    return len(toks), len(set(toks))
-
-
 def tokenize(text: str):
     global _TOKEN_RE
     if _TOKEN_RE is None:

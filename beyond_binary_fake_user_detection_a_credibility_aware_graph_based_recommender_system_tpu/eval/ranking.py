@@ -37,15 +37,21 @@ from .metrics import (cred_groups, item_popularity, novelty_stats,
 
 @dataclass
 class EvalContext:
-    """Device-resident evaluation state for one graph."""
+    """Device-resident evaluation state for one graph.
+
+    The (U, Pmax) padded train-row table (full-catalog masking) and the
+    device popularity vector (extended metrics) are built lazily — the
+    default sampled protocol never needs them, and the padded table can
+    reach hundreds of MB under power-law degree skew."""
     graph: BipartiteGraph
     train_csr: DeviceCSR
     val_csr: DeviceCSR
     test_csr: DeviceCSR
-    train_padded_rows: jax.Array      # (U, Pmax) train items, pad = num_items
     item_pop: np.ndarray              # (I,) int64 train popularity
     total_train: int
     eval_users: Dict[str, np.ndarray] = field(default_factory=dict)
+    _train_padded_rows: Optional[jax.Array] = field(default=None, repr=False)
+    _item_pop_dev: Optional[jax.Array] = field(default=None, repr=False)
 
     @classmethod
     def build(cls, graph: BipartiteGraph) -> "EvalContext":
@@ -53,19 +59,12 @@ class EvalContext:
         tr = graph.user_csr("train")
         va = graph.user_csr("val")
         te = graph.user_csr("test")
-        deg = tr.degrees()
-        pmax = max(int(deg.max()) if deg.size else 1, 1)
-        padded = np.full((graph.num_users, pmax), I, dtype=np.int32)
-        for u in np.nonzero(deg)[0]:
-            row = tr.row(u)
-            padded[u, :row.size] = row
         pop, total = item_popularity(graph.train_edges, I)
         ctx = cls(
             graph=graph,
             train_csr=DeviceCSR.from_host(tr, I),
             val_csr=DeviceCSR.from_host(va, I),
             test_csr=DeviceCSR.from_host(te, I),
-            train_padded_rows=jnp.asarray(padded),
             item_pop=pop,
             total_train=total,
         )
@@ -74,6 +73,20 @@ class EvalContext:
             "test": np.nonzero(te.degrees() > 0)[0].astype(np.int64),
         }
         return ctx
+
+    @property
+    def train_padded_rows(self) -> jax.Array:
+        if self._train_padded_rows is None:
+            from .retrieval import build_exclusion_rows
+            self._train_padded_rows = jnp.asarray(
+                build_exclusion_rows(self.graph, "train"))
+        return self._train_padded_rows
+
+    @property
+    def item_pop_dev(self) -> jax.Array:
+        if self._item_pop_dev is None:
+            self._item_pop_dev = jnp.asarray(self.item_pop)
+        return self._item_pop_dev
 
     def split_csr(self, split: str) -> DeviceCSR:
         return {"train": self.train_csr, "val": self.val_csr,
@@ -90,17 +103,28 @@ def _batched(users: np.ndarray, batch: int):
         yield jnp.asarray(chunk, jnp.int32), n
 
 
-@functools.partial(jax.jit, static_argnames=("num_items", "n_neg"))
+def rejection_rounds(max_degree: int, num_items: int) -> int:
+    """Redraw rounds so residual collision probability is negligible.
+
+    Per-candidate collision prob p <= max_degree/num_items; after r rounds
+    the residual is p^(r+1).  Rounds are the dominant eval cost (each is a
+    full binary-search membership sweep over (B, n_neg) candidates), so pick
+    the smallest r with p^(r+1) < 1e-9 — 3 at reference scale (p~3e-5), more
+    on small dense catalogs where the reference's loop-until-clean semantics
+    would otherwise be violated."""
+    p = min(max(max_degree, 1) / max(num_items, 2), 0.9)
+    r = int(np.ceil(-9.0 / np.log10(p))) - 1
+    return int(np.clip(r, 2, 30))
+
+
+@functools.partial(jax.jit, static_argnames=("num_items", "n_neg", "rounds"))
 def _sampled_batch(key, user_emb, item_emb, users, eval_csr: DeviceCSR,
-                   train_csr: DeviceCSR, num_items: int, n_neg: int):
+                   train_csr: DeviceCSR, num_items: int, n_neg: int,
+                   rounds: int):
     kpos, kneg = jax.random.split(key)
     pos = sample_positives(kpos, eval_csr, users)
-    # 3 redraw rounds: per-candidate collision prob is ~(deg_tr+deg_te)/I
-    # (~3e-5 at reference scale), so residuals after 3 rounds are ~0 while
-    # each extra round costs a full binary-search membership sweep over
-    # (B, n_neg) candidates — the dominant eval cost.
     negs = sample_candidate_set(kneg, (eval_csr, train_csr), users,
-                                num_items, n_neg, rounds=3)
+                                num_items, n_neg, rounds=rounds)
     cand = jnp.concatenate([pos[:, None], negs], axis=1)        # (B, 1+n)
     scores = jnp.einsum("bd,bkd->bk", user_emb[users], item_emb[cand])
     rank = jnp.sum(scores[:, 1:] > scores[:, :1], axis=1)
@@ -212,17 +236,19 @@ def evaluate_sampled(key: jax.Array, user_emb: jax.Array, item_emb: jax.Array,
         raise RuntimeError(f"No users with {split} interactions.")
     eval_csr = ctx.split_csr(split)
     acc = _Accumulator(Ks, extended)
-    k_cov = max(Ks)
+    max_deg = int(max(ctx.graph.user_csr("train").degrees().max(initial=1),
+                      ctx.graph.user_csr(split).degrees().max(initial=1)))
+    rounds = rejection_rounds(max_deg, ctx.graph.num_items)
     for bu, n_valid in _batched(users, batch):
         key, kb = jax.random.split(key)
         rank, ranked = _sampled_batch(kb, user_emb, item_emb, bu, eval_csr,
                                       ctx.train_csr, ctx.graph.num_items,
-                                      n_negatives)
+                                      n_negatives, rounds)
         per_user = sampled_rank_metrics(rank, Ks)
         logpop = selfinfo = ranked_dev = None
         if extended:
             ranked_dev = ranked
-            pop_dev = jnp.asarray(ctx.item_pop)
+            pop_dev = ctx.item_pop_dev
             logpop, selfinfo = {}, {}
             for K in Ks:
                 logpop[K], selfinfo[K] = novelty_stats(
@@ -251,7 +277,7 @@ def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
         logpop = selfinfo = topk_dev = None
         if extended:
             topk_dev = topk_items
-            pop_dev = jnp.asarray(ctx.item_pop)
+            pop_dev = ctx.item_pop_dev
             logpop, selfinfo = {}, {}
             for K in Ks:
                 logpop[K], selfinfo[K] = novelty_stats(

@@ -101,15 +101,36 @@ class LightGCN:
 
     # -- propagation ------------------------------------------------------
 
-    def propagate(self, params: Params) -> Tuple[jax.Array, jax.Array]:
+    @property
+    def state(self):
+        """Operator-state pytree to thread through jit as an ARGUMENT
+        (closure-captured edge arrays inline into the compiled program as
+        constants and grow the HLO with graph size).  Entries are None for
+        operator types without exportable state (e.g. mesh-sharded ops)."""
+        def st(op):
+            return getattr(op, "state", None)
+        if self.cfg.propagation == "symmetric":
+            return {"joint": st(self.joint_op)}
+        return {"ifu": st(self.item_from_user), "ufi": st(self.user_from_item)}
+
+    def _apply(self, op, state_pair, x):
+        if state_pair is not None:
+            from ..ops.spmm import spmm_apply
+            return spmm_apply(state_pair[0], state_pair[1], x)
+        return op(x)
+
+    def propagate(self, params: Params,
+                  state=None) -> Tuple[jax.Array, jax.Array]:
         K = self.cfg.num_layers
         mode = self.cfg.propagation
+        if state is None:
+            state = self.state
         if mode == "symmetric":
             x = params["emb"] if "emb" in params else jnp.concatenate(
                 [params["user_emb"], params["item_emb"]], axis=0)
             acc = x
             for _ in range(K):
-                x = self.joint_op(x)
+                x = self._apply(self.joint_op, state["joint"], x)
                 acc = acc + x
             final = acc / (K + 1)
             return final[:self.num_users], final[self.num_users:]
@@ -119,12 +140,12 @@ class LightGCN:
         for _ in range(K):
             if mode == "bipartite_sync":
                 # Jacobi: both updates read layer k (lightgcn_cu.py:429-439)
-                new_i = self.item_from_user(u)
-                new_u = self.user_from_item(i)
+                new_i = self._apply(self.item_from_user, state["ifu"], u)
+                new_u = self._apply(self.user_from_item, state["ufi"], i)
                 u, i = new_u, new_i
             else:  # gauss_seidel (lightgcn_cu_message.py:421-423)
-                i = self.item_from_user(u)
-                u = self.user_from_item(i)
+                i = self._apply(self.item_from_user, state["ifu"], u)
+                u = self._apply(self.user_from_item, state["ufi"], i)
             acc_u = acc_u + u
             acc_i = acc_i + i
         return acc_u / (K + 1), acc_i / (K + 1)

@@ -85,12 +85,21 @@ def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
 
 
-def info_nce(z1: jax.Array, z2: jax.Array, tau: float = 0.2) -> jax.Array:
+def info_nce(z1: jax.Array, z2: jax.Array, tau: float = 0.2,
+             mask: Optional[jax.Array] = None) -> jax.Array:
     """Temporal-contrastive InfoNCE between two views (main.py:653-658):
-    cross-entropy of the cosine-similarity logits against the diagonal."""
+    cross-entropy of the cosine-similarity logits against the diagonal.
+
+    ``mask`` marks valid rows of a fixed-shape padded batch: masked slots
+    are excluded both as anchors and as negatives, reproducing the
+    reference's exact ragged-batch semantics (duplicate pad rows would
+    otherwise split the diagonal's softmax mass and act as false
+    negatives)."""
     z1 = _l2_normalize(z1)
     z2 = _l2_normalize(z2)
     logits = (z1 @ z2.T) / tau
+    if mask is not None:
+        logits = jnp.where(mask[None, :], logits, -jnp.inf)
     labels = jnp.arange(z1.shape[0])
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(logp[labels, labels])
+    return -_masked_mean(logp[labels, labels], mask)

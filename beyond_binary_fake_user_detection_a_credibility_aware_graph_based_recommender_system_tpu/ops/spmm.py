@@ -50,6 +50,67 @@ class _SortedEdges:
     num_dst: int
 
 
+jax.tree_util.register_dataclass(
+    _SortedEdges, data_fields=["src", "dst", "w"],
+    meta_fields=["num_src", "num_dst"])
+
+
+@dataclass(frozen=True)
+class SpmmState:
+    """One direction of a sparse operator as a PYTREE.
+
+    Operator data must flow through ``jit`` as an *argument*, not a Python
+    closure: closure-captured arrays serialize into the compiled program as
+    literal constants, which bloats the HLO unboundedly with graph size
+    (a 10M-edge plan overflowed the remote-compile transport).
+    """
+    backend: str                       # meta: "xla" | "pallas"
+    edges: Optional[_SortedEdges]      # xla backend
+    plan: Optional[object]             # pallas backend (PallasSegmentPlan)
+
+
+jax.tree_util.register_dataclass(
+    SpmmState, data_fields=["edges", "plan"], meta_fields=["backend"])
+
+
+def _dispatch(state: SpmmState, x: jax.Array) -> jax.Array:
+    if state.backend == "pallas":
+        from .spmm_pallas import apply_pallas
+        return apply_pallas(state.plan, x)
+    return _apply_xla(state.edges, x)
+
+
+def _zeros_ct(tree):
+    """Cotangent of an operator-state pytree: symbolic float0 for integer
+    leaves, broadcast zeros (free under XLA) for float leaves."""
+    def z(v):
+        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating):
+            return jnp.zeros_like(v)
+        return np.zeros(np.shape(v), jax.dtypes.float0)
+    return jax.tree.map(z, tree)
+
+
+@jax.custom_vjp
+def spmm_apply(fwd_state: SpmmState, bwd_state: SpmmState,
+               x: jax.Array) -> jax.Array:
+    """y = A @ x; differentiable in x with dx = A^T @ g via the pre-planned
+    transpose direction (never XLA's gather-VJP scatter)."""
+    return _dispatch(fwd_state, x)
+
+
+def _spmm_fwd(fwd_state, bwd_state, x):
+    return _dispatch(fwd_state, x), (fwd_state, bwd_state)
+
+
+def _spmm_bwd(res, g):
+    fwd_state, bwd_state = res
+    dx = _dispatch(bwd_state, g)
+    return (_zeros_ct(fwd_state), _zeros_ct(bwd_state), dx)
+
+
+spmm_apply.defvjp(_spmm_fwd, _spmm_bwd)
+
+
 def _sort_edges(edge_map: EdgeMap) -> _SortedEdges:
     order = np.argsort(edge_map.dst, kind="stable")
     return _SortedEdges(
@@ -96,7 +157,7 @@ class SpmmOperator:
                     num_src=edge_map.num_dst, num_dst=edge_map.num_src))
 
         if self.backend == "pallas":
-            from .spmm_pallas import build_pallas_segment_plan, apply_pallas
+            from .spmm_pallas import build_pallas_segment_plan
             interpret = jax.devices()[0].platform != "tpu"
             fwd_plan = build_pallas_segment_plan(
                 np.asarray(self._fwd.src), np.asarray(self._fwd.dst),
@@ -108,29 +169,24 @@ class SpmmOperator:
                 np.asarray(self._bwd.w), self.num_src, num_src=self.num_dst,
                 block_rows=block_rows, chunk_edges=chunk_edges,
                 interpret=interpret)
-            fwd_apply = functools.partial(apply_pallas, fwd_plan)
-            bwd_apply = functools.partial(apply_pallas, bwd_plan)
+            self.fwd_state = SpmmState("pallas", None, fwd_plan)
+            self.bwd_state = SpmmState("pallas", None, bwd_plan)
         else:
-            fwd_apply = functools.partial(_apply_xla, self._fwd)
-            bwd_apply = functools.partial(_apply_xla, self._bwd)
+            self.fwd_state = SpmmState("xla", self._fwd, None)
+            self.bwd_state = SpmmState("xla", self._bwd, None)
 
-        @jax.custom_vjp
-        def _matvec(x):
-            return fwd_apply(x)
+    @property
+    def state(self):
+        """(fwd, bwd) state pair — pass through jit as an argument and call
+        :func:`spmm_apply` on it (closure capture bloats the HLO)."""
+        return (self.fwd_state, self.bwd_state)
 
-        def _matvec_fwd(x):
-            return fwd_apply(x), None
-
-        def _matvec_bwd(_, g):
-            return (bwd_apply(g),)
-
-        _matvec.defvjp(_matvec_fwd, _matvec_bwd)
-        self.apply: Callable[[jax.Array], jax.Array] = _matvec
-        self._bwd_apply = bwd_apply
+    def apply(self, x: jax.Array) -> jax.Array:
+        return spmm_apply(self.fwd_state, self.bwd_state, x)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.apply(x)
 
     def transpose_apply(self, y: jax.Array) -> jax.Array:
         """y -> A^T @ y (the pre-planned backward direction)."""
-        return self._bwd_apply(y)
+        return spmm_apply(self.bwd_state, self.fwd_state, y)

@@ -58,14 +58,18 @@ class ShardedTopK:
         num_items = self.num_items
         n_dev = self.n_dev
 
+        has_exclude = exclude is not None
+        if not has_exclude:
+            exclude = jnp.zeros((user_emb_batch.shape[0], 1), jnp.int32)
+
         @functools.partial(
             jax.shard_map, mesh=mesh,
-            in_specs=(P(), P(MODEL_AXIS, None)),
+            in_specs=(P(), P(MODEL_AXIS, None), P()),
             out_specs=(P(), P()),
             # outputs ARE replicated (tiled all_gather over the model axis);
             # the static varying-mesh-axes check can't infer that
             check_vma=False)
-        def f(u, items_local):
+        def f(u, items_local, excl):
             dev = jax.lax.axis_index(MODEL_AXIS)
             scores = u @ items_local.T                        # (B, rows_per)
             base = dev * rows_per
@@ -73,6 +77,18 @@ class ShardedTopK:
                 jnp.int32, scores.shape, 1)
             valid = gids < num_items
             scores = jnp.where(valid, scores, -jnp.inf)
+            if has_exclude:
+                # mask BEFORE the local top-k: a hub user whose seen items
+                # dominate one shard must not crowd out valid candidates
+                B = scores.shape[0]
+                loc = excl - base
+                in_range = (loc >= 0) & (loc < rows_per)
+                col = jnp.where(in_range, loc, rows_per)
+                ext = jnp.concatenate(
+                    [scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
+                rows = jnp.arange(B)[:, None]
+                ext = ext.at[rows, col].set(-jnp.inf)
+                scores = ext[:, :-1]
             loc_v, loc_i = jax.lax.top_k(scores, min(k, rows_per))
             loc_g = jnp.take_along_axis(gids, loc_i, axis=1)
             # gather candidates from every shard
@@ -80,10 +96,7 @@ class ShardedTopK:
             all_g = jax.lax.all_gather(loc_g, MODEL_AXIS, axis=1, tiled=True)
             return all_v, all_g
 
-        all_v, all_g = f(user_emb_batch, item_emb_padded)     # (B, P*k)
-        if exclude is not None:
-            hit = (all_g[:, :, None] == exclude[:, None, :]).any(-1)
-            all_v = jnp.where(hit, -jnp.inf, all_v)
+        all_v, all_g = f(user_emb_batch, item_emb_padded, exclude)  # (B, P*k)
         v, idx = jax.lax.top_k(all_v, k)
         ids = jnp.take_along_axis(all_g, idx, axis=1)
         return v, ids

@@ -96,7 +96,7 @@ class CredTrainer:
             h_u2_1, h_i1_1, v1.src, v1.dst, v1.w_u2i_norm, min_w=0.0)
 
         loss_cont = losses.info_nce(h_u2_1[seed_users], h_u2_2[seed_users],
-                                    tau=cfg.tau_temp)
+                                    tau=cfg.tau_temp, mask=mask)
 
         return (loss_sup + cfg.lambda_smooth * loss_smooth
                 + cfg.lambda_cont * loss_cont)

@@ -103,8 +103,11 @@ class RecTrainer:
 
         self.optimizer = optax.adam(cfg.lr)
         self._epoch_fn = None
-        # jit once: re-wrapping per call would retrace every epoch
-        self._propagate_fn = jax.jit(self.model.propagate)
+        # jit once (re-wrapping per call would retrace every epoch); the
+        # operator state flows as an argument so edge arrays never inline
+        # into the compiled program as constants
+        self._propagate_fn = jax.jit(
+            lambda params, mstate: self.model.propagate(params, mstate))
 
     # ------------------------------------------------------------------
     def init_state(self, seed: Optional[int] = None):
@@ -117,25 +120,39 @@ class RecTrainer:
         return params, opt_state, key
 
     # ------------------------------------------------------------------
-    def _sample_batch(self, key, users):
+    def train_state_bundle(self):
+        """Device data the jitted epoch touches, passed as an argument."""
+        return {"model": self.model.state, "train_csr": self.ctx.train_csr,
+                "popmix": self.popmix, "pop_norm": self.pop_norm}
+
+    def _sample_batch(self, key, users, bundle):
         kp, kn = jax.random.split(key)
-        pos = sample_positives(kp, self.ctx.train_csr, users)
-        if self.popmix is not None:
-            neg = sample_negatives_popmix(kn, self.ctx.train_csr, users,
-                                          self.popmix,
+        pos = sample_positives(kp, bundle["train_csr"], users)
+        if bundle["popmix"] is not None:
+            neg = sample_negatives_popmix(kn, bundle["train_csr"], users,
+                                          bundle["popmix"],
                                           rounds=self.cfg.neg_rounds)
         else:
-            neg = sample_negatives_uniform(kn, self.ctx.train_csr, users,
+            neg = sample_negatives_uniform(kn, bundle["train_csr"], users,
                                            self.graph.num_items,
                                            rounds=self.cfg.neg_rounds)
         return pos, neg
 
-    def _loss_fn(self, params, users, pos, neg, mask,
-                 cached_emb: Optional[Tuple[jax.Array, jax.Array]] = None):
-        if cached_emb is None:
-            user_emb, item_emb = self.model.propagate(params)
+    def _loss_fn(self, params, users, pos, neg, mask, bundle,
+                 cached_rest: Optional[Tuple[jax.Array, jax.Array]] = None):
+        if cached_rest is None:
+            user_emb, item_emb = self.model.propagate(params, bundle["model"])
         else:
-            user_emb, item_emb = cached_emb
+            # "per_epoch" fast mode: the neighbor-propagation contribution is
+            # cached (stale within the epoch, constant under grad) but the
+            # layer-0 ego term comes from the CURRENT params so BPR gradients
+            # flow — caching the whole propagated table would silently reduce
+            # the loss to pure L2 shrinkage (zero ranking gradient).
+            rest_u, rest_i = cached_rest
+            ego_u, ego_i = ego_tables(params, self.graph.num_users)
+            scale = 1.0 / (self.cfg.num_layers + 1)
+            user_emb = rest_u + scale * ego_u
+            item_emb = rest_i + scale * ego_i
         pos_s = LightGCN.score(user_emb, item_emb, users, pos)
         neg_s = LightGCN.score(user_emb, item_emb, users, neg)
         loss = losses.bpr_loss(pos_s, neg_s, mask)
@@ -145,7 +162,7 @@ class RecTrainer:
         loss = loss + self.cfg.reg * reg
 
         if self.cfg.lambda_fair != 0.0:
-            fair = losses.fairness_loss(self.pop_norm[pos], pos_s, mask)
+            fair = losses.fairness_loss(bundle["pop_norm"][pos], pos_s, mask)
             loss = loss + self.cfg.lambda_fair * fair
         return loss
 
@@ -157,24 +174,29 @@ class RecTrainer:
         nb = -(-n // B)
         n_pad = nb * B
 
-        def epoch_fn(params, opt_state, key):
+        def epoch_fn(params, opt_state, key, train_users_dev, bundle):
             kperm, key = jax.random.split(key)
-            perm = jax.random.permutation(kperm, self.train_users_dev)
+            perm = jax.random.permutation(kperm, train_users_dev)
             pad = jnp.zeros((n_pad - n,), jnp.int32)
             users_all = jnp.concatenate([perm, pad]).reshape(nb, B)
             mask_all = (jnp.arange(n_pad) < n).reshape(nb, B)
 
             cached = None
             if cfg.propagation_schedule == "per_epoch":
-                cached = self.model.propagate(params)
+                user_emb, item_emb = self.model.propagate(params,
+                                                          bundle["model"])
+                ego_u, ego_i = ego_tables(params, self.graph.num_users)
+                scale = 1.0 / (cfg.num_layers + 1)
+                cached = (jax.lax.stop_gradient(user_emb - scale * ego_u),
+                          jax.lax.stop_gradient(item_emb - scale * ego_i))
 
             def step(carry, batch):
                 params, opt_state, key = carry
                 users, mask = batch
                 key, ks = jax.random.split(key)
-                pos, neg = self._sample_batch(ks, users)
+                pos, neg = self._sample_batch(ks, users, bundle)
                 loss, grads = jax.value_and_grad(self._loss_fn)(
-                    params, users, pos, neg, mask, cached)
+                    params, users, pos, neg, mask, bundle, cached)
                 updates, opt_state = self.optimizer.update(grads, opt_state,
                                                            params)
                 params = optax.apply_updates(params, updates)
@@ -191,7 +213,7 @@ class RecTrainer:
                  extended: Optional[bool] = None):
         cfg = self.cfg
         extended = cfg.extended_metrics if extended is None else extended
-        user_emb, item_emb = self._propagate_fn(params)
+        user_emb, item_emb = self._propagate_fn(params, self.model.state)
         if cfg.eval_mode == "full":
             return evaluate_full(user_emb, item_emb, self.ctx, split,
                                  Ks=cfg.Ks, extended=extended, cred=self.cred,
@@ -235,7 +257,9 @@ class RecTrainer:
         history = []
         for epoch in range(start_epoch, epochs + 1):
             t0 = time.perf_counter()
-            params, opt_state, key, loss = self._epoch_fn(params, opt_state, key)
+            params, opt_state, key, loss = self._epoch_fn(
+                params, opt_state, key, self.train_users_dev,
+                self.train_state_bundle())
             loss = float(loss)
             dt = time.perf_counter() - t0
             self._log(f"Epoch {epoch:02d} | loss={loss:.6f}")
