@@ -55,7 +55,7 @@ def _padded_rows(indptr: np.ndarray, indices: np.ndarray, edge_ids,
     return out, eid
 
 
-@dataclass
+@dataclass(frozen=True)
 class SlasSampler:
     item_feat_norm: jax.Array     # (I, Fi)
     user_mu: jax.Array            # (U, Fi)
@@ -148,3 +148,11 @@ class SlasSampler:
         slot, scores = gumbel_topk(key, logits + up, k, mask)
         users = jnp.take_along_axis(nbrs, slot, axis=1)
         return users, jnp.isfinite(scores)
+
+
+jax.tree_util.register_dataclass(
+    SlasSampler,
+    data_fields=["item_feat_norm", "user_mu", "user_labeled", "u_items",
+                 "u_eids", "i_users", "i_eids", "edge_view_early",
+                 "edge_view_late"],
+    meta_fields=["kappa", "upweight_labeled"])

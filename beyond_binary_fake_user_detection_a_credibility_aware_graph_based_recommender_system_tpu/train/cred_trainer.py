@@ -59,6 +59,10 @@ class CredTrainer:
         self.hg = hg
         self.verbose = verbose
         self.model = CredModel(hg, self.cfg, backend=backend)
+        self.slas_data = None
+        if self.cfg.trainer_mode == "slas":
+            from ..models.cred_slas import build_slas_graph_data
+            self.slas_data = build_slas_graph_data(hg, self.cfg)
         self.optimizer = optax.adam(self.cfg.lr)
 
         labeled = np.nonzero(hg.user_y >= 0)[0]
@@ -81,8 +85,11 @@ class CredTrainer:
             print(msg)
 
     # ------------------------------------------------------------------
-    def _loss(self, params: Params, seed_users: jax.Array, mask: jax.Array):
+    def _loss(self, params: Params, seed_users: jax.Array, mask: jax.Array,
+              key: Optional[jax.Array] = None):
         cfg = self.cfg
+        if cfg.trainer_mode == "slas":
+            return self._loss_slas(params, seed_users, mask, key)
         pred1, h_u2_1, h_i1_1 = self.model.forward(params, "early")
         v1 = self.model.views["early"]
         _, h_u2_2, _ = self.model.forward(params, "late")
@@ -98,6 +105,40 @@ class CredTrainer:
         loss_cont = losses.info_nce(h_u2_1[seed_users], h_u2_2[seed_users],
                                     tau=cfg.tau_temp, mask=mask)
 
+        return (loss_sup + cfg.lambda_smooth * loss_smooth
+                + cfg.lambda_cont * loss_cont)
+
+    def _loss_slas(self, params: Params, seeds: jax.Array, mask: jax.Array,
+                   key: jax.Array):
+        """Sampled-neighborhood loss: same three terms over the SLAS
+        fixed-shape subgraph (reference main.py:913-958 semantics with the
+        sampling moved on-device; see models/cred_slas.py)."""
+        from ..models.cred_slas import slas_forward
+        cfg = self.cfg
+        k1, k2 = jax.random.split(key)
+        pred1, h_u2_1, h_i1_1, (w_norm, item_mask) = slas_forward(
+            params, self.slas_data, seeds, k1, "early",
+            cfg.k_item_neigh, cfg.k_user_neigh)
+        _, h_u2_2, _, _ = slas_forward(
+            params, self.slas_data, seeds, k2, "late",
+            cfg.k_item_neigh, cfg.k_user_neigh)
+
+        y = self.user_y[seeds]
+        keep = (y >= 0) & mask
+        loss_sup = losses.masked_bce(pred1, y.astype(jnp.float32), keep)
+
+        # smoothness over the (seed -> item slot) edges with normalized EWA
+        # weights (main.py:894-907 restricted to the sampled subgraph)
+        B, Ki = item_mask.shape
+        h_u_rep = jnp.repeat(h_u2_1, Ki, axis=0)
+        sq = jnp.sum((h_u_rep - h_i1_1) ** 2, axis=-1)
+        w = w_norm * item_mask.reshape(-1) * jnp.repeat(mask, Ki)
+        valid = (w > 0).astype(sq.dtype)
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+        loss_smooth = jnp.sum(w * sq) / denom
+
+        loss_cont = losses.info_nce(h_u2_1, h_u2_2, tau=cfg.tau_temp,
+                                    mask=mask)
         return (loss_sup + cfg.lambda_smooth * loss_smooth
                 + cfg.lambda_cont * loss_cont)
 
@@ -117,17 +158,18 @@ class CredTrainer:
             mask_all = (jnp.arange(n_pad) < n).reshape(nb, B)
 
             def step(carry, batch):
-                params, opt_state = carry
+                params, opt_state, skey = carry
                 users, mask = batch
+                skey, ks = jax.random.split(skey)
                 loss, grads = jax.value_and_grad(self._loss)(params, users,
-                                                             mask)
+                                                             mask, ks)
                 updates, opt_state = self.optimizer.update(grads, opt_state,
                                                            params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
+                return (params, opt_state, skey), loss
 
-            (params, opt_state), batch_losses = jax.lax.scan(
-                step, (params, opt_state), (users_all, mask_all))
+            (params, opt_state, key), batch_losses = jax.lax.scan(
+                step, (params, opt_state, key), (users_all, mask_all))
             return params, opt_state, key, jnp.mean(batch_losses)
 
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
@@ -168,9 +210,36 @@ class CredTrainer:
                              cred_minmax=cred_minmax, history=history)
 
     def infer(self, params: Params) -> jax.Array:
-        """Full-graph inference with no temporal view (main.py:965-984)."""
-        cred, _, _ = jax.jit(lambda p: self.model.forward(p, None))(params)
-        return cred
+        """Inference with no temporal view (main.py:965-984).  slas mode
+        scores users batch-wise on sampled neighborhoods (reference
+        main.py:965-984 also infers on subgraphs)."""
+        if self.cfg.trainer_mode != "slas":
+            cred, _, _ = jax.jit(
+                lambda p: self.model.forward(p, None))(params)
+            return cred
+        from ..models.cred_slas import slas_forward
+        cfg = self.cfg
+        U = self.hg.num_users
+        B = min(cfg.batch_size, U)
+        nb = -(-U // B)
+
+        @jax.jit
+        def batch_fn(params, seeds, key):
+            cred, _, _, _ = slas_forward(params, self.slas_data, seeds, key,
+                                         None, cfg.k_item_neigh,
+                                         cfg.k_user_neigh)
+            return cred
+
+        out = np.zeros(U, np.float32)
+        key = jax.random.PRNGKey(cfg.seed + 1234)
+        for s in range(0, nb * B, B):
+            seeds = np.arange(s, min(s + B, U), dtype=np.int64)
+            pad = np.zeros(B - seeds.size, np.int64)
+            key, kb = jax.random.split(key)
+            cred = batch_fn(params, jnp.asarray(np.concatenate([seeds, pad]),
+                                                jnp.int32), kb)
+            out[seeds] = np.asarray(cred)[:seeds.size]
+        return jnp.asarray(out)
 
     # ------------------------------------------------------------------
     def export(self, result: CredFitResult, out_dir) -> Dict[str, str]:

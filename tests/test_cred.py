@@ -185,3 +185,38 @@ def test_slas_temporal_view(hg):
     for b in range(hg.num_users):
         for item in got[b][m[b]]:
             assert (b, int(item)) in early_pairs
+
+
+def test_slas_forward_shapes_and_masks(hg):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.models.cred_slas import (
+        build_slas_graph_data, slas_forward)
+    cfg = CredConfig(hidden_dim=8)
+    model = cm.CredModel(hg, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    data = build_slas_graph_data(hg, cfg)
+    seeds = jnp.arange(12, dtype=jnp.int32)
+    cred, h_u2, h_i1, (w_norm, item_mask) = jax.jit(
+        lambda p, s, k: slas_forward(p, data, s, k, "early", 5, 4)
+    )(params, seeds, jax.random.PRNGKey(1))
+    assert cred.shape == (12,)
+    assert h_u2.shape == (12, 8)
+    assert h_i1.shape == (60, 8)
+    assert w_norm.shape == (60,)
+    assert item_mask.shape == (12, 5)
+    assert np.all(np.asarray(cred) >= 0) and np.all(np.asarray(cred) <= 1)
+    assert np.isfinite(np.asarray(h_u2)).all()
+    # normalized weights within each item slot are <= 1
+    assert np.nanmax(np.asarray(w_norm)) <= 1.0 + 1e-5
+
+
+def test_slas_trainer_mode_learns(hg, tmp_path):
+    cfg = CredConfig(hidden_dim=16, epochs=25, batch_size=32, lr=1e-2,
+                     trainer_mode="slas", k_item_neigh=6, k_user_neigh=5)
+    tr = CredTrainer(hg, cfg, verbose=False)
+    res = tr.fit()
+    assert np.isfinite([h["loss"] for h in res.history]).all()
+    assert res.history[-1]["loss"] < res.history[0]["loss"]
+    assert res.cred_minmax.min() >= 0.0 and res.cred_minmax.max() <= 1.0
+    paths = tr.export(res, tmp_path / "slas_out")
+    import os
+    assert os.path.exists(paths["csv"])
