@@ -89,6 +89,16 @@ class CredView:
     src: jax.Array                    # (E,) user idx per edge
     dst: jax.Array                    # (E,) item idx per edge
 
+    @property
+    def state(self):
+        """Pytree of the two operators' state pairs plus the edge arrays the
+        smoothness term reads — thread through jit as an argument (closure
+        capture inlines E-sized constants)."""
+        return {"ifu": self.item_from_user.state,
+                "ufi": self.user_from_item.state,
+                "w_u2i_norm": self.w_u2i_norm,
+                "src": self.src, "dst": self.dst}
+
 
 def build_cred_view(hg: HeteroGraph, cfg: CredConfig, view: Optional[str],
                     backend: str = "xla") -> CredView:
@@ -141,21 +151,31 @@ class CredModel:
         return init_cred_params(key, self.hg.user_x.shape[1],
                                 self.hg.item_x.shape[1], self.cfg.hidden_dim)
 
-    def forward(self, params: Params, view: Optional[str]
-                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    @property
+    def state(self):
+        """{view_name: view state} pytree for jit-argument threading."""
+        return {("all" if v is None else v): self.views[v].state
+                for v in self.views}
+
+    def forward(self, params: Params, view: Optional[str],
+                state=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """(cred (U,), h_u2 (U,H), h_i1 (I,H)) — mirrors
         ``forward_subgraph`` (main.py:690-707) on the full graph.  The
-        view's normalized weights/edges are in ``self.views[view]``."""
+        view's normalized weights/edges are in ``self.views[view]``;
+        ``state`` (from :attr:`state`) supplies the operator arrays through
+        jit arguments."""
+        from ..ops.spmm import spmm_apply
         v = self.views[view]
+        vstate = (state or self.state)["all" if view is None else view]
         h_u0 = self.user_x @ params["user_proj_w"] + params["user_proj_b"]
         h_i0 = self.item_x @ params["item_proj_w"] + params["item_proj_b"]
 
-        m_i = v.item_from_user(h_u0)
+        m_i = spmm_apply(vstate["ifu"][0], vstate["ifu"][1], h_u0)
         h_i1 = jax.nn.relu(
             jnp.concatenate([h_i0, m_i], axis=-1) @ params["item_upd_w"]
             + params["item_upd_b"])
 
-        m_u = v.user_from_item(h_i1)
+        m_u = spmm_apply(vstate["ufi"][0], vstate["ufi"][1], h_i1)
         h_u2 = jax.nn.relu(
             jnp.concatenate([h_u0, m_u], axis=-1) @ params["user_upd_w"]
             + params["user_upd_b"])

@@ -86,13 +86,13 @@ class CredTrainer:
 
     # ------------------------------------------------------------------
     def _loss(self, params: Params, seed_users: jax.Array, mask: jax.Array,
-              key: Optional[jax.Array] = None):
+              key: Optional[jax.Array] = None, mstate=None):
         cfg = self.cfg
         if cfg.trainer_mode == "slas":
             return self._loss_slas(params, seed_users, mask, key)
-        pred1, h_u2_1, h_i1_1 = self.model.forward(params, "early")
-        v1 = self.model.views["early"]
-        _, h_u2_2, _ = self.model.forward(params, "late")
+        pred1, h_u2_1, h_i1_1 = self.model.forward(params, "early", mstate)
+        v1 = (mstate or self.model.state)["early"]
+        _, h_u2_2, _ = self.model.forward(params, "late", mstate)
 
         y = self.user_y[seed_users]
         keep = (y >= 0) & mask
@@ -100,7 +100,8 @@ class CredTrainer:
                                      y.astype(jnp.float32), keep)
 
         loss_smooth = losses.smoothness_loss(
-            h_u2_1, h_i1_1, v1.src, v1.dst, v1.w_u2i_norm, min_w=0.0)
+            h_u2_1, h_i1_1, v1["src"], v1["dst"], v1["w_u2i_norm"],
+            min_w=0.0)
 
         loss_cont = losses.info_nce(h_u2_1[seed_users], h_u2_2[seed_users],
                                     tau=cfg.tau_temp, mask=mask)
@@ -150,7 +151,7 @@ class CredTrainer:
         n_pad = nb * B
         train_users_dev = jnp.asarray(self.train_users, jnp.int32)
 
-        def epoch_fn(params, opt_state, key):
+        def epoch_fn(params, opt_state, key, mstate):
             kperm, key = jax.random.split(key)
             perm = jax.random.permutation(kperm, train_users_dev)
             pad = jnp.zeros((n_pad - n,), jnp.int32)
@@ -162,7 +163,7 @@ class CredTrainer:
                 users, mask = batch
                 skey, ks = jax.random.split(skey)
                 loss, grads = jax.value_and_grad(self._loss)(params, users,
-                                                             mask, ks)
+                                                             mask, ks, mstate)
                 updates, opt_state = self.optimizer.update(grads, opt_state,
                                                            params)
                 params = optax.apply_updates(params, updates)
@@ -189,8 +190,8 @@ class CredTrainer:
         history = []
         for ep in range(1, epochs + 1):
             t0 = time.perf_counter()
-            params, opt_state, key, loss = self._epoch_fn(params, opt_state,
-                                                          key)
+            params, opt_state, key, loss = self._epoch_fn(
+                params, opt_state, key, self.model.state)
             loss = float(loss)
             history.append({"epoch": ep, "loss": loss,
                             "seconds": time.perf_counter() - t0})
@@ -214,8 +215,8 @@ class CredTrainer:
         scores users batch-wise on sampled neighborhoods (reference
         main.py:965-984 also infers on subgraphs)."""
         if self.cfg.trainer_mode != "slas":
-            cred, _, _ = jax.jit(
-                lambda p: self.model.forward(p, None))(params)
+            cred, _, _ = jax.jit(self.model.forward, static_argnums=(1,))(
+                params, None, self.model.state)
             return cred
         from ..models.cred_slas import slas_forward
         cfg = self.cfg
