@@ -30,3 +30,28 @@ __version__ = "0.1.0"
 
 # Short, stable subpackage surface.
 from . import data, graph, ops, models, train, eval, parallel, utils, configs  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keep bare import light; jax-heavy
+    modules load on first use)."""
+    _lazy = {
+        "RecConfig": ("utils.config", "RecConfig"),
+        "CredConfig": ("utils.config", "CredConfig"),
+        "IngestConfig": ("utils.config", "IngestConfig"),
+        "ingest_jsonl": ("data.ingest", "ingest_jsonl"),
+        "build_bipartite_graph": ("graph.build", "build_bipartite_graph"),
+        "build_heterograph": ("graph.hetero", "build_heterograph"),
+        "compute_user_features": ("data.features", "compute_user_features"),
+        "LightGCN": ("models.lightgcn", "LightGCN"),
+        "CredModel": ("models.cred_model", "CredModel"),
+        "RecTrainer": ("train.trainer", "RecTrainer"),
+        "CredTrainer": ("train.cred_trainer", "CredTrainer"),
+        "get_preset": ("configs.presets", "get_preset"),
+        "topk_for_users": ("eval.retrieval", "topk_for_users"),
+    }
+    if name in _lazy:
+        import importlib
+        mod, attr = _lazy[name]
+        return getattr(importlib.import_module(f"{__name__}.{mod}"), attr)
+    raise AttributeError(name)

@@ -33,7 +33,8 @@ def main():
     ap.add_argument("--jsonl", default=None,
                     help="real dataset JSONL; synthetic ref-scale otherwise")
     ap.add_argument("--cred", default=None, help="credibility CSV")
-    ap.add_argument("--scale", default="ref", choices=["small", "ref"])
+    ap.add_argument("--scale", default="ref",
+                    choices=["small", "ref", "large"])
     ap.add_argument("--out", default=None, help="also tee log to this file")
     ap.add_argument("--metrics-jsonl", default=None)
     ap.add_argument("overrides", nargs="*")
@@ -55,6 +56,10 @@ def main():
         graph = build_bipartite_graph(ingest_jsonl(args.jsonl))
     elif args.scale == "ref":
         graph = synthetic_bipartite_graph(58_867, 261_728, 7.9, seed=0,
+                                          power=1.0)
+    elif args.scale == "large":
+        # north-star class: ~10M interactions (BASELINE.json config 5)
+        graph = synthetic_bipartite_graph(500_000, 1_000_000, 20.0, seed=0,
                                           power=1.0)
     else:
         graph = synthetic_bipartite_graph(2_000, 3_000, 16.0, seed=0,
