@@ -59,3 +59,14 @@ def test_cred_ingest_defaults():
     i = IngestConfig()
     assert i.pos_rating_threshold == 4.0
     assert (i.train_p, i.val_p, i.test_p) == (0.80, 0.10, 0.10)
+
+
+def test_lazy_top_level_exports():
+    import beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu as bb
+    assert bb.RecConfig().emb_dim == 64
+    assert bb.get_preset("pop_neg").negative_sampler == "popmix"
+    assert callable(bb.ingest_jsonl)
+    assert callable(bb.RecTrainer)
+    import pytest as _pytest
+    with _pytest.raises(AttributeError):
+        bb.nonexistent_symbol
