@@ -25,7 +25,7 @@ Exact-semantics notes (parity traps preserved):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

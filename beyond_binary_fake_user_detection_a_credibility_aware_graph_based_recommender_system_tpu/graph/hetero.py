@@ -24,7 +24,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..data.features import LABEL_TO_INT, UserFeatures
+from ..data.features import UserFeatures
 from ..data.ingest import InteractionTable
 
 

@@ -14,16 +14,15 @@ all-gathers over ICI; the data-parallel gradient reduction becomes a psum.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..models import losses
 from ..models.lightgcn import LightGCN, ego_tables
-from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharded, replicated, row_sharded
+from .mesh import batch_sharded, replicated, row_sharded
 
 
 def param_shardings(mesh: Mesh, params: Dict[str, jax.Array]):
@@ -33,11 +32,6 @@ def param_shardings(mesh: Mesh, params: Dict[str, jax.Array]):
 
 def opt_state_shardings(mesh: Mesh, opt_state, p_shard):
     """Adam moments mirror the parameter sharding; scalars replicate."""
-    def _leaf(x):
-        if isinstance(x, dict) or (hasattr(x, "ndim") and x.ndim >= 2):
-            return row_sharded(mesh)
-        return replicated(mesh)
-
     def _map(tree):
         return jax.tree.map(
             lambda x: row_sharded(mesh) if getattr(x, "ndim", 0) >= 2

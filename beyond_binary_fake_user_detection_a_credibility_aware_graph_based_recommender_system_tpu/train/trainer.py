@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from ..eval.ranking import EvalContext, evaluate_full, evaluate_sampled
 from ..graph.build import BipartiteGraph
 from ..models import losses
 from ..models.lightgcn import LightGCN, ego_tables, init_params
-from ..ops.sampling import (DeviceCSR, PopMixSampler, sample_negatives_popmix,
+from ..ops.sampling import (PopMixSampler, sample_negatives_popmix,
                             sample_negatives_uniform, sample_positives)
 from ..utils.config import RecConfig
 from .checkpoint import TrainCheckpointer, save_params_npz
