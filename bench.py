@@ -155,6 +155,20 @@ def main():
     log(f"[bench] {backend}: {dt*1e3:.3f} ms/step loss={loss:.4f}")
     value = edges_per_step / dt
 
+    # speed-of-light estimate (BASELINE.json: edges/sec/chip vs roofline).
+    # Each SpMM moves ~3 row-sized streams per edge (source gather, message
+    # write+read) plus the destination write; v5e HBM ~819 GB/s.  The gather
+    # engine is row-rate-bound at ~5.5 ns/row (measured), usually the binder.
+    n_spmm = args.layers * 2 * 2          # fwd+bwd, both directions
+    D = args.emb_dim
+    bytes_per_spmm = E * D * 4 * 3 + (graph.num_users + graph.num_items) * D * 4
+    t_bw = n_spmm * bytes_per_spmm / 819e9
+    t_gather = n_spmm * E * 5.5e-9
+    sol = max(t_bw, t_gather)
+    log(f"[bench] roofline: bw-bound {t_bw*1e3:.1f} ms, gather-bound "
+        f"{t_gather*1e3:.1f} ms -> step efficiency {sol/dt*100:.0f}% of "
+        f"speed-of-light")
+
     vs_baseline = 1.0
     if backend != args.baseline_backend:
         bstep, bparams, bopt, _ = make_step(graph, args.baseline_backend,

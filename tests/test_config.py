@@ -70,3 +70,13 @@ def test_lazy_top_level_exports():
     import pytest as _pytest
     with _pytest.raises(AttributeError):
         bb.nonexistent_symbol
+
+
+def test_throughput_counters():
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.profiling import Throughput
+    t = Throughput(edges_per_step=1000)
+    t.start()
+    t.stop(steps=5)
+    assert t.steps == 5
+    assert t.edges_per_sec > 0
+    assert "steps" in t.summary()

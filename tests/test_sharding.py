@@ -73,3 +73,11 @@ def test_sharded_step_matches_single_device():
     for k in p0:
         np.testing.assert_allclose(np.asarray(p0[k]), np.asarray(p1[k]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_initialize_noop_single_process():
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel import distributed
+    assert distributed.initialize() is False  # single-process -> no-op
+    info = distributed.process_info()
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 8
