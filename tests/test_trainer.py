@@ -75,11 +75,20 @@ def test_extended_metrics(train_graph):
 
 
 def test_per_epoch_schedule_close_to_per_batch(train_graph):
-    """Fast mode (cached propagation) trains and evaluates sanely."""
-    tr = _mk(get_preset("vanilla"), train_graph,
-             propagation_schedule="per_epoch")
-    res = tr.fit(epochs=10)
-    assert res.best_val_recall > 0.0
+    """Fast mode (cached propagation + live ego term) must actually LEARN —
+    guards the gradient path (a cached-constant propagation would silently
+    reduce BPR to zero gradient)."""
+    tr_fast = _mk(get_preset("vanilla"), train_graph,
+                  propagation_schedule="per_epoch")
+    res_fast = tr_fast.fit(epochs=15)
+    tr_ref = _mk(get_preset("vanilla"), train_graph)
+    res_ref = tr_ref.fit(epochs=15)
+    assert res_fast.best_val_recall > 0.5 * res_ref.best_val_recall, (
+        res_fast.best_val_recall, res_ref.best_val_recall)
+    # the sharp zero-gradient guard: with a cached-constant propagation the
+    # BPR loss has no gradient and stays pinned at log(2) ~= 0.693
+    assert res_fast.history[-1].loss < 0.67, res_fast.history[-1].loss
+    assert res_fast.history[-1].loss < res_fast.history[0].loss - 0.01
 
 
 def test_determinism_same_seed(train_graph):
