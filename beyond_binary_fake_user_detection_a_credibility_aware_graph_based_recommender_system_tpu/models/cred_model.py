@@ -101,7 +101,7 @@ class CredView:
 
 
 def build_cred_view(hg: HeteroGraph, cfg: CredConfig, view: Optional[str],
-                    backend: str = "xla") -> CredView:
+                    backend: str = "auto") -> CredView:
     """normalize_per_dst over the view's edges only (masked weights), both
     directions (main.py:680-688)."""
     E = hg.num_edges
@@ -135,7 +135,7 @@ class CredModel:
     """Full-graph CredModel over precomputed temporal views."""
 
     def __init__(self, hg: HeteroGraph, cfg: Optional[CredConfig] = None,
-                 backend: str = "xla"):
+                 backend: str = "auto"):
         self.cfg = cfg or CredConfig()
         self.hg = hg
         # NaN features would poison the dense projections; the reference's

@@ -54,7 +54,7 @@ class CredFitResult:
 
 class CredTrainer:
     def __init__(self, hg: HeteroGraph, cfg: Optional[CredConfig] = None,
-                 backend: str = "xla", verbose: bool = True):
+                 backend: str = "auto", verbose: bool = True):
         self.cfg = cfg or CredConfig()
         self.hg = hg
         self.verbose = verbose
