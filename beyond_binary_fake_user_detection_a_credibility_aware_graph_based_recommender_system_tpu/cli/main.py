@@ -40,7 +40,8 @@ def cmd_build_graph(args):
 
 
 def cmd_train_cred(args):
-    from ..data.features import compute_user_features
+    from ..data.features import (compute_user_features, save_features_csv,
+                                 save_labels_csv)
     from ..data.ingest import ingest_jsonl
     from ..graph.hetero import build_heterograph
     from ..train.cred_trainer import CredTrainer
@@ -53,7 +54,13 @@ def cmd_train_cred(args):
     hg = build_heterograph(table, feats)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    # reference intermediate artifacts (main.py steps 1/3)
+    save_labels_csv(out / "user_labels.csv", table, feats.labels)
+    save_features_csv(out / "user_features.csv", table, feats)
     hg.save_npz(out / "graph_hetero.npz")
+    if args.plots:
+        from ..eval.report import plot_feature_distributions
+        plot_feature_distributions(feats, out / "plots")
     trainer = CredTrainer(hg, ccfg)
     result = trainer.fit()
     trainer.export(result, out)
@@ -81,6 +88,17 @@ def cmd_train_rec(args):
         with open(Path(args.out) / "test_metrics.json", "w") as f:
             json.dump({str(k): v for k, v in result.test_metrics.items()}, f,
                       indent=2, default=float)
+
+
+def cmd_merge_user_ids(args):
+    import numpy as np
+    from ..data.cred_io import save_credibility_csv
+    from ..graph.build import BipartiteGraph
+
+    graph = BipartiteGraph.load_npz(args.graph)
+    cred = np.load(args.npy)
+    save_credibility_csv(args.out, cred, graph.user_ids)
+    print(f"Saved {args.out} ({len(cred)} users)")
 
 
 def cmd_evaluate(args):
@@ -113,8 +131,18 @@ def build_parser():
     p = sub.add_parser("train-cred", help="Stage A: train credibility model")
     p.add_argument("--jsonl", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--plots", action="store_true",
+                   help="write fake-vs-genuine feature distribution PNGs")
     _add_overrides(p)
     p.set_defaults(fn=cmd_train_cred)
+
+    p = sub.add_parser("merge-user-ids",
+                       help="join a credibility .npy with a graph's id map "
+                            "into the CSV contract (merge_user_id.py)")
+    p.add_argument("--npy", required=True)
+    p.add_argument("--graph", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_merge_user_ids)
 
     p = sub.add_parser("train-rec", help="Stage B: train a LightGCN variant")
     p.add_argument("--graph", required=True)

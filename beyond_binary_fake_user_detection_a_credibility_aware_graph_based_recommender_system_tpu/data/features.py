@@ -217,6 +217,33 @@ def compute_user_features(table: InteractionTable, cfg: Optional[CredConfig] = N
     return UserFeatures(keys=keys, values=values, labels=labels)
 
 
+def save_labels_csv(path, table: InteractionTable, labels: UserLabels):
+    """Reference user_labels.csv layout (main.py:181-194):
+    user_id,total_reviews,helpful_reviews,Ru,label."""
+    import csv
+    names = labels.label_names()
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["user_id", "total_reviews", "helpful_reviews", "Ru",
+                    "label"])
+        for u in range(table.num_users):
+            w.writerow([table.user_ids[u], int(labels.total_reviews[u]),
+                        int(labels.helpful_reviews[u]),
+                        float(labels.Ru[u]), names[u]])
+
+
+def save_features_csv(path, table: InteractionTable, feats: UserFeatures):
+    """Reference user_features.csv layout (main.py:375-398)."""
+    import csv
+    rows = features_to_csv_rows(table, feats)
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()) if rows else
+                           ["user_id", "Ru", "label"])
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+
+
 def features_to_csv_rows(table: InteractionTable,
                          feats: UserFeatures) -> List[dict]:
     """Rows in the reference user_features.csv layout (main.py:375-398)."""

@@ -146,8 +146,10 @@ class RecConfig(ConfigBase):
     # "per_epoch" caches it across an epoch (fast mode).
     propagation_schedule: str = "per_batch"
 
-    # Numerics / backend
-    dtype: str = "float32"
+    # Backend ("auto" = pallas on TPU, xla elsewhere).  Propagation
+    # accumulates in float32 throughout; the SpMM message stream is float32
+    # (bfloat16 streams are a measured non-win: the source gather is
+    # row-count-bound, not byte-bound).
     spmm_backend: str = "auto"        # "auto" | "xla" | "pallas"
 
     # Checkpointing

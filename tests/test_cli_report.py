@@ -84,3 +84,25 @@ def test_metric_logger(tmp_path):
     log.close()
     lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
     assert lines[1]["loss"] == 0.4
+
+
+def test_cli_train_cred_artifacts_and_merge(tmp_path):
+    import numpy as np
+    jsonl = tmp_path / "r.jsonl"
+    _write_demo_jsonl(jsonl, n=400, seed=3)
+    cli_main(["train-cred", "--jsonl", str(jsonl), "--out", str(tmp_path),
+              "epochs=2", "batch_size=32"])
+    # reference intermediate artifacts
+    assert (tmp_path / "user_labels.csv").exists()
+    assert (tmp_path / "user_features.csv").exists()
+    import csv
+    rows = list(csv.DictReader(open(tmp_path / "user_labels.csv")))
+    assert {"user_id", "total_reviews", "helpful_reviews", "Ru",
+            "label"} <= set(rows[0].keys())
+
+    cli_main(["build-graph", "--jsonl", str(jsonl), "--out", str(tmp_path)])
+    cli_main(["merge-user-ids",
+              "--npy", str(tmp_path / "credibility_scores_minmax.npy"),
+              "--graph", str(tmp_path / "graph.npz"),
+              "--out", str(tmp_path / "merged.csv")])
+    assert (tmp_path / "merged.csv").exists()
