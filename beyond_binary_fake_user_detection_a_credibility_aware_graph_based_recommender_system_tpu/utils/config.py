@@ -48,6 +48,17 @@ class ConfigBase:
         return json.dumps(self.to_dict(), indent=2, default=str)
 
     @classmethod
+    def from_json(cls, path):
+        """Load a config from a JSON file (tuples restored from lists)."""
+        with open(path) as f:
+            d = json.load(f)
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        for k, v in list(d.items()):
+            if isinstance(v, list) and k in fields and                     "Tuple" in str(fields[k].type):
+                d[k] = tuple(v)
+        return cls.from_dict(d)
+
+    @classmethod
     def from_dict(cls, d: Dict[str, Any]):
         names = {f.name for f in dataclasses.fields(cls)}
         unknown = set(d) - names

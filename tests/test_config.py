@@ -80,3 +80,28 @@ def test_throughput_counters():
     assert t.steps == 5
     assert t.edges_per_sec > 0
     assert "steps" in t.summary()
+
+
+def test_from_json_roundtrip(tmp_path):
+    cfg = RecConfig(epochs=7, Ks=(3, 9), name="x")
+    p = tmp_path / "c.json"
+    p.write_text(cfg.to_json())
+    cfg2 = RecConfig.from_json(p)
+    assert cfg2.epochs == 7 and cfg2.Ks == (3, 9) and cfg2.name == "x"
+
+
+def test_metrics_block_matches_reference_format():
+    """The human log format must diff cleanly against the reference .out
+    files (lightgcn.py:608-611 prints '  K=10: P=0.0155 R=0.3099 ...')."""
+    import re
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
+        format_metrics_block)
+    res = {10: {"precision": 0.0155, "recall": 0.3099, "ndcg": 0.1862,
+                "mode": "sampled(1pos+neg)"},
+           20: {"precision": 0.01, "recall": 0.2, "ndcg": 0.1,
+                "mode": "sampled(1pos+neg)"}}
+    block = format_metrics_block("VAL", res).splitlines()
+    assert block[0] == "VAL metrics:"
+    assert block[1] == "  K=10: P=0.0155 R=0.3099 NDCG=0.1862 (sampled(1pos+neg))"
+    assert re.match(r"  K=20: P=\d\.\d{4} R=\d\.\d{4} NDCG=\d\.\d{4} \(.*\)",
+                    block[2])
