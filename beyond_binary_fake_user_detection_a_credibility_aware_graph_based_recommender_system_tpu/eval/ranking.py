@@ -117,10 +117,14 @@ def rejection_rounds(max_degree: int, num_items: int) -> int:
     return int(np.clip(r, 2, 30))
 
 
-@functools.partial(jax.jit, static_argnames=("num_items", "n_neg", "rounds"))
+@functools.partial(jax.jit, static_argnames=("num_items", "n_neg", "rounds",
+                                              "Ks", "extended", "total_train"))
 def _sampled_batch(key, user_emb, item_emb, users, eval_csr: DeviceCSR,
-                   train_csr: DeviceCSR, num_items: int, n_neg: int,
-                   rounds: int):
+                   train_csr: DeviceCSR, item_pop, num_items: int, n_neg: int,
+                   rounds: int, Ks: tuple, extended: bool, total_train: int):
+    """One eval batch, metrics INCLUDED — everything per-batch must live in
+    one jitted function: eager jnp ops each pay a separate (remote) compile
+    and dispatch, which dominated evaluation cost."""
     kpos, kneg = jax.random.split(key)
     pos = sample_positives(kpos, eval_csr, users)
     negs = sample_candidate_set(kneg, (eval_csr, train_csr), users,
@@ -130,22 +134,38 @@ def _sampled_batch(key, user_emb, item_emb, users, eval_csr: DeviceCSR,
     rank = jnp.sum(scores[:, 1:] > scores[:, :1], axis=1)
     order = jnp.argsort(-scores, axis=1, stable=True)
     ranked = jnp.take_along_axis(cand, order, axis=1)
-    return rank, ranked
+    per_user = sampled_rank_metrics(rank, Ks)
+    logpop = selfinfo = None
+    if extended:
+        logpop, selfinfo = {}, {}
+        for K in Ks:
+            logpop[K], selfinfo[K] = novelty_stats(
+                ranked[:, :K], item_pop, total_train, num_items)
+    return per_user, ranked, logpop, selfinfo
 
 
-@functools.partial(jax.jit, static_argnames=("k_max",))
+@functools.partial(jax.jit, static_argnames=("Ks", "extended", "total_train",
+                                              "num_items"))
 def _full_batch(user_emb, item_emb, users, train_padded_rows,
-                test_csr: DeviceCSR, k_max: int):
+                test_csr: DeviceCSR, item_pop, Ks: tuple, extended: bool,
+                total_train: int, num_items: int):
     scores = user_emb[users] @ item_emb.T                       # (B, I)
     pad = jnp.zeros((scores.shape[0], 1), scores.dtype)
     ext = jnp.concatenate([scores, pad], axis=1)
     rows = jnp.arange(scores.shape[0])[:, None]
     ext = ext.at[rows, train_padded_rows[users]].set(-1e9)
     scores = ext[:, :-1]
-    _, topk_items = jax.lax.top_k(scores, k_max)
+    _, topk_items = jax.lax.top_k(scores, max(Ks))
     hits = row_contains(test_csr, users, topk_items)
     gt_len = test_csr.indptr[users + 1] - test_csr.indptr[users]
-    return topk_items, hits, gt_len
+    per_user = topk_metrics(hits, gt_len, Ks)
+    logpop = selfinfo = None
+    if extended:
+        logpop, selfinfo = {}, {}
+        for K in Ks:
+            logpop[K], selfinfo[K] = novelty_stats(
+                topk_items[:, :K], item_pop, total_train, num_items)
+    return per_user, topk_items, logpop, selfinfo
 
 
 class _Accumulator:
@@ -241,20 +261,12 @@ def evaluate_sampled(key: jax.Array, user_emb: jax.Array, item_emb: jax.Array,
     rounds = rejection_rounds(max_deg, ctx.graph.num_items)
     for bu, n_valid in _batched(users, batch):
         key, kb = jax.random.split(key)
-        rank, ranked = _sampled_batch(kb, user_emb, item_emb, bu, eval_csr,
-                                      ctx.train_csr, ctx.graph.num_items,
-                                      n_negatives, rounds)
-        per_user = sampled_rank_metrics(rank, Ks)
-        logpop = selfinfo = ranked_dev = None
-        if extended:
-            ranked_dev = ranked
-            pop_dev = ctx.item_pop_dev
-            logpop, selfinfo = {}, {}
-            for K in Ks:
-                logpop[K], selfinfo[K] = novelty_stats(
-                    ranked[:, :K], pop_dev, ctx.total_train,
-                    ctx.graph.num_items)
-        acc.add(per_user, n_valid, ranked_dev, logpop, selfinfo)
+        per_user, ranked, logpop, selfinfo = _sampled_batch(
+            kb, user_emb, item_emb, bu, eval_csr, ctx.train_csr,
+            ctx.item_pop_dev, ctx.graph.num_items, n_negatives, rounds,
+            tuple(Ks), extended, ctx.total_train)
+        acc.add(per_user, n_valid, ranked if extended else None, logpop,
+                selfinfo)
     return acc.results("sampled(1pos+neg)", ctx.graph.num_items, users, cred,
                        cred_group_pct, n_negatives)
 
@@ -269,20 +281,12 @@ def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
         raise RuntimeError(f"No users with {split} interactions.")
     eval_csr = ctx.split_csr(split)
     acc = _Accumulator(Ks, extended)
-    k_max = max(Ks)
     for bu, n_valid in _batched(users, batch):
-        topk_items, hits, gt_len = _full_batch(
-            user_emb, item_emb, bu, ctx.train_padded_rows, eval_csr, k_max)
-        per_user = topk_metrics(hits, gt_len, Ks)
-        logpop = selfinfo = topk_dev = None
-        if extended:
-            topk_dev = topk_items
-            pop_dev = ctx.item_pop_dev
-            logpop, selfinfo = {}, {}
-            for K in Ks:
-                logpop[K], selfinfo[K] = novelty_stats(
-                    topk_items[:, :K], pop_dev, ctx.total_train,
-                    ctx.graph.num_items)
-        acc.add(per_user, n_valid, topk_dev, logpop, selfinfo)
+        per_user, topk_items, logpop, selfinfo = _full_batch(
+            user_emb, item_emb, bu, ctx.train_padded_rows, eval_csr,
+            ctx.item_pop_dev, tuple(Ks), extended, ctx.total_train,
+            ctx.graph.num_items)
+        acc.add(per_user, n_valid, topk_items if extended else None, logpop,
+                selfinfo)
     return acc.results("full", ctx.graph.num_items, users, cred,
                        cred_group_pct, None)
