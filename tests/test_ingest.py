@@ -97,3 +97,17 @@ def test_positive_edges_and_split(tmp_path):
     for k in range(t.num_records):
         expect = ing.md5_split_bucket(t.user_ids[t.uidx[k]], t.item_ids[t.iidx[k]])
         assert t.split[k] == expect
+
+
+def test_alternate_item_key_asin(tmp_path):
+    """graph.py / index.ipynb use item_key='asin' instead of parent_asin
+    (SURVEY.md: graph.py:196,261) — the config covers that variant."""
+    p = tmp_path / "d.jsonl"
+    recs = [{"user_id": f"u{k%5}", "asin": f"a{k%3}", "rating": 5.0}
+            for k in range(20)]
+    _write_jsonl(p, recs)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import IngestConfig
+    t = ing.ingest_jsonl(p, IngestConfig(item_key="asin", backend="python"))
+    assert t.num_records == 20 and t.num_items == 3
+    t2 = ing.ingest_jsonl(p, IngestConfig(item_key="asin", backend="native"))
+    assert t2.num_records == 20 and t2.item_ids == t.item_ids

@@ -115,3 +115,21 @@ def test_checkpoint_resume(train_graph, tmp_path):
                   resume=True)
     assert res.history[0].epoch == 4
     assert res.history[-1].epoch == 5
+
+
+def test_empty_eval_split_raises():
+    """Reference raises on empty splits (lightgcn.py:410,469,549)."""
+    import jax.numpy as jnp
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.eval.ranking import (
+        EvalContext, evaluate_sampled)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import BipartiteGraph
+    import jax
+    g = BipartiteGraph(
+        num_users=4, num_items=4,
+        train_edges=np.array([[0, 1], [0, 1]], np.int32),
+        val_edges=np.zeros((2, 0), np.int32),
+        test_edges=np.zeros((2, 0), np.int32))
+    ctx = EvalContext.build(g)
+    ue = jnp.zeros((4, 4)); ie = jnp.zeros((4, 4))
+    with pytest.raises(RuntimeError, match="No users"):
+        evaluate_sampled(jax.random.PRNGKey(0), ue, ie, ctx, "test")
