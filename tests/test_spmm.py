@@ -113,3 +113,42 @@ def test_pallas_operator_end_to_end(small_graph, rng):
     gx = jax.grad(lambda x: jnp.sum(op_x(x) * cot))(x)
     gp = jax.grad(lambda x: jnp.sum(op_p(x) * cot))(x)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_state_is_pytree_and_arg_threadable(rng):
+    """Operator state must flow through jit as an argument (HLO-constant
+    bloat guard) and produce identical results to the closure path."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops.spmm import spmm_apply
+    em = _random_edge_map(rng, E=120)
+    op = SpmmOperator(em, backend="xla")
+    x = jnp.asarray(rng.normal(size=(em.num_src, 8)).astype(np.float32))
+
+    leaves, treedef = jax.tree.flatten(op.state)
+    assert all(hasattr(l, "shape") for l in leaves)
+
+    @jax.jit
+    def f(state_pair, x):
+        return spmm_apply(state_pair[0], state_pair[1], x)
+
+    np.testing.assert_allclose(np.asarray(f(op.state, x)),
+                               np.asarray(op(x)), rtol=1e-6)
+    # gradient flows through the arg-threaded path too
+    g = jax.grad(lambda x: jnp.sum(f(op.state, x)))(x)
+    expect = em.to_dense().T @ np.ones((em.num_dst, 8))
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_transpose_apply(rng):
+    em = _random_edge_map(rng, E=90)
+    op = SpmmOperator(em, backend="xla")
+    y = jnp.asarray(rng.normal(size=(em.num_dst, 4)).astype(np.float32))
+    got = np.asarray(op.transpose_apply(y))
+    expect = em.to_dense().T @ np.asarray(y, np.float64)
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_resolve_backend():
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops.spmm import resolve_backend
+    assert resolve_backend("xla") == "xla"
+    assert resolve_backend("pallas") == "pallas"
+    assert resolve_backend("auto") in ("xla", "pallas")  # cpu tests -> xla
