@@ -51,7 +51,8 @@ def cmd_train_cred(args):
     table = ingest_jsonl(args.jsonl, IngestConfig(jsonl_path=args.jsonl),
                          collect_token_hashes=(ccfg.feature_set == "v1"))
     feats = compute_user_features(table, ccfg)
-    hg = build_heterograph(table, feats)
+    hg = build_heterograph(table, feats,
+                           graph_feature_set=ccfg.graph_feature_set)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     # reference intermediate artifacts (main.py steps 1/3)

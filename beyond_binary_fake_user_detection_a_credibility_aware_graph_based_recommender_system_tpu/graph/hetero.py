@@ -70,8 +70,30 @@ class HeteroGraph:
                    user_ids=list(z["user_ids"]) or None)
 
 
+#: Reference parity: the cred graph always consumes Ru + the 6 v0 features,
+#: even when the v1 pipeline computed RNR/ETG on top
+#: (/root/reference/version_1/main_v2_.py:94-102,612-622).
+CRED_GRAPH_FEATURE_KEYS = (
+    "Ru", "rating_entropy", "extremity_ratio", "average_rating_deviation",
+    "review_burst_count", "lexical_diversity", "review_length_discrepancy")
+
+
 def build_heterograph(table: InteractionTable,
-                      features: UserFeatures) -> HeteroGraph:
+                      features: UserFeatures,
+                      graph_feature_set: str = "cred7") -> HeteroGraph:
+    """``graph_feature_set``: "cred7" (reference parity — Ru + 6, dropping
+    RNR/ETG when the v1 pipeline produced them) or "all" (every computed
+    feature column)."""
+    if graph_feature_set == "cred7":
+        sel = [features.keys.index(k) for k in CRED_GRAPH_FEATURE_KEYS]
+        user_values = features.values[:, sel]
+        feature_keys = list(CRED_GRAPH_FEATURE_KEYS)
+    elif graph_feature_set == "all":
+        user_values = features.values
+        feature_keys = list(features.keys)
+    else:
+        raise ValueError(f"unknown graph_feature_set {graph_feature_set!r}")
+
     U, I, E = table.num_users, table.num_items, table.num_records
     uidx = table.uidx.astype(np.int64)
     iidx = table.iidx.astype(np.int64)
@@ -109,11 +131,11 @@ def build_heterograph(table: InteractionTable,
     ], axis=1).astype(np.float32)
 
     return HeteroGraph(
-        user_x=features.values.astype(np.float32),
+        user_x=user_values.astype(np.float32),
         user_y=user_y,
         item_x=item_x,
         edges=np.stack([uidx, iidx]).astype(np.int32),
         edge_attr=edge_attr,
-        feature_keys=list(features.keys),
+        feature_keys=feature_keys,
         user_ids=list(table.user_ids),
     )

@@ -207,6 +207,9 @@ class CredConfig(ConfigBase):
 
     # Feature engineering
     feature_set: str = "v0"           # "v0" = 6 features, "v1" = 8 features
+    # graph columns: "cred7" = Ru + 6 even under v1 (reference parity,
+    # version_1/main_v2_.py:94-102,612-622); "all" = every computed feature
+    graph_feature_set: str = "cred7"
     tau_ms: int = 24 * 60 * 60 * 1000  # burst bucket, main.py:68
     etg_max_gap_days: int = 365        # v1 ETG cap
 

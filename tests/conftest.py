@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Some TPU platform plugins (axon) ignore the JAX_PLATFORMS env var; the
+# config API wins as long as it runs before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np

@@ -220,3 +220,27 @@ def test_slas_trainer_mode_learns(hg, tmp_path):
     paths = tr.export(res, tmp_path / "slas_out")
     import os
     assert os.path.exists(paths["csv"])
+
+
+def test_v1_graph_feature_parity_flag():
+    """Under feature_set=v1 the cred graph still consumes only Ru + 6
+    (version_1/main_v2_.py:94-102,612-622); "all" opts into the 9 columns."""
+    rng = np.random.default_rng(11)
+    table = _mk_table(rng, U=30, I=20, N=500)
+    table.extra["user_unique_tokens"] = rng.integers(1, 40, 30).astype(np.int64)
+    feats = compute_user_features(table, CredConfig(feature_set="v1"))
+    assert feats.values.shape == (30, 9)
+
+    hg7 = build_heterograph(table, feats)  # default graph_feature_set="cred7"
+    assert hg7.user_x.shape == (30, 7)
+    assert hg7.feature_keys == [
+        "Ru", "rating_entropy", "extremity_ratio", "average_rating_deviation",
+        "review_burst_count", "lexical_diversity", "review_length_discrepancy"]
+    np.testing.assert_array_equal(hg7.user_x, feats.values[:, :7])
+
+    hg9 = build_heterograph(table, feats, graph_feature_set="all")
+    assert hg9.user_x.shape == (30, 9)
+    np.testing.assert_array_equal(hg9.user_x, feats.values)
+
+    with pytest.raises(ValueError):
+        build_heterograph(table, feats, graph_feature_set="bogus")
