@@ -48,7 +48,7 @@ def build_graph(scale: str):
 
 
 def make_step(graph, backend: str, emb_dim: int, num_layers: int,
-              batch_size: int, seed: int = 0):
+              batch_size: int, seed: int = 0, precision: str = "fp32"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -63,7 +63,8 @@ def make_step(graph, backend: str, emb_dim: int, num_layers: int,
     cfg = RecConfig(name="bench", propagation="gauss_seidel",
                     weight_mode="cu_message", table_layout="split",
                     emb_dim=emb_dim, num_layers=num_layers,
-                    batch_size=batch_size, spmm_backend=backend)
+                    batch_size=batch_size, spmm_backend=backend,
+                    spmm_precision=precision)
     cred = np.random.default_rng(seed).uniform(0.2, 1.0,
                                                graph.num_users).astype(np.float32)
     model = LightGCN(cfg, graph, cred)
@@ -132,6 +133,7 @@ def main():
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     args = ap.parse_args()
 
     import jax
@@ -150,9 +152,10 @@ def main():
     edges_per_step = E * args.layers * 2 * 2
 
     step, params, opt_state, cfg = make_step(graph, backend, args.emb_dim,
-                                             args.layers, args.batch)
+                                             args.layers, args.batch,
+                                             precision=args.precision)
     dt, loss = time_step(step, params, opt_state, args.iters)
-    log(f"[bench] {backend}: {dt*1e3:.3f} ms/step loss={loss:.4f}")
+    log(f"[bench] {backend}/{args.precision}: {dt*1e3:.3f} ms/step loss={loss:.4f}")
     value = edges_per_step / dt
 
     # speed-of-light estimate (BASELINE.json: edges/sec/chip vs roofline).

@@ -86,7 +86,8 @@ class LightGCN:
         backend = backend if backend is not None else cfg.spmm_backend
         if operator_factory is None:
             def operator_factory(em):
-                return SpmmOperator(em, backend=backend)
+                return SpmmOperator(em, backend=backend,
+                                    precision=cfg.spmm_precision)
 
         maps = build_edge_maps(graph, cfg.weight_mode, cred)
         if cfg.propagation == "symmetric":
@@ -125,18 +126,28 @@ class LightGCN:
         mode = self.cfg.propagation
         if state is None:
             state = self.state
+        # bf16 fast mode: cast ego tables ONCE so the whole chain (gathers,
+        # kernel messages, layer-mean) runs at half the HBM bytes; the
+        # kernel still accumulates per-destination sums in fp32.  Combined
+        # tables are returned as fp32 for scoring/loss.
+        prop_dtype = (jnp.bfloat16 if getattr(self.cfg, "spmm_precision",
+                                              "fp32") == "bf16"
+                      else jnp.float32)
         if mode == "symmetric":
             x = params["emb"] if "emb" in params else jnp.concatenate(
                 [params["user_emb"], params["item_emb"]], axis=0)
-            acc = x
+            x = x.astype(prop_dtype)
+            acc = x.astype(jnp.float32)
             for _ in range(K):
                 x = self._apply(self.joint_op, state["joint"], x)
-                acc = acc + x
+                acc = acc + x.astype(jnp.float32)
             final = acc / (K + 1)
             return final[:self.num_users], final[self.num_users:]
 
         u, i = ego_tables(params, self.num_users)
-        acc_u, acc_i = u, i
+        u = u.astype(prop_dtype)
+        i = i.astype(prop_dtype)
+        acc_u, acc_i = u.astype(jnp.float32), i.astype(jnp.float32)
         for _ in range(K):
             if mode == "bipartite_sync":
                 # Jacobi: both updates read layer k (lightgcn_cu.py:429-439)
@@ -146,8 +157,8 @@ class LightGCN:
             else:  # gauss_seidel (lightgcn_cu_message.py:421-423)
                 i = self._apply(self.item_from_user, state["ifu"], u)
                 u = self._apply(self.user_from_item, state["ufi"], i)
-            acc_u = acc_u + u
-            acc_i = acc_i + i
+            acc_u = acc_u + u.astype(jnp.float32)
+            acc_i = acc_i + i.astype(jnp.float32)
         return acc_u / (K + 1), acc_i / (K + 1)
 
     # -- scoring ----------------------------------------------------------

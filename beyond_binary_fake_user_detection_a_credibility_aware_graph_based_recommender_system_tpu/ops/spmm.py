@@ -145,8 +145,13 @@ class SpmmOperator:
     """
 
     def __init__(self, edge_map: EdgeMap, backend: str = "xla",
-                 block_rows: int = 512, chunk_edges: int = 256):
+                 block_rows: int = 512, chunk_edges: int = 256,
+                 precision: str = "fp32"):
+        # precision: "fp32" (parity default) or "bf16" — bf16 messages halve
+        # gather/message HBM bytes and run the MXU pass at bf16 rate with
+        # fp32 accumulation (pallas backend only; xla ignores it).
         self.backend = resolve_backend(backend)
+        self.precision = precision
         self.num_src = edge_map.num_src
         self.num_dst = edge_map.num_dst
         self.num_edges = edge_map.num_edges
@@ -158,16 +163,17 @@ class SpmmOperator:
         if self.backend == "pallas":
             from .spmm_pallas import build_pallas_segment_plan
             interpret = jax.devices()[0].platform != "tpu"
+            msg_dtype = {"fp32": "float32", "bf16": "bfloat16"}[precision]
             fwd_plan = build_pallas_segment_plan(
                 np.asarray(self._fwd.src), np.asarray(self._fwd.dst),
                 np.asarray(self._fwd.w), self.num_dst, num_src=self.num_src,
                 block_rows=block_rows, chunk_edges=chunk_edges,
-                interpret=interpret)
+                interpret=interpret, msg_dtype=msg_dtype)
             bwd_plan = build_pallas_segment_plan(
                 np.asarray(self._bwd.src), np.asarray(self._bwd.dst),
                 np.asarray(self._bwd.w), self.num_src, num_src=self.num_dst,
                 block_rows=block_rows, chunk_edges=chunk_edges,
-                interpret=interpret)
+                interpret=interpret, msg_dtype=msg_dtype)
             self.fwd_state = SpmmState("pallas", None, fwd_plan)
             self.bwd_state = SpmmState("pallas", None, bwd_plan)
         else:

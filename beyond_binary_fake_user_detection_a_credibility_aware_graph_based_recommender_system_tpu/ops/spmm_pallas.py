@@ -14,11 +14,18 @@ per-destination reduction as a sequence of small dense matmuls:
      parts").  Blocks cover RAW row ranges: the output is a plain slice, no
      decompression pass (a compressed-row variant spent ~2ms/call
      re-gathering 262K rows back to the full destination space).
-  2. Device: messages ``msg[e] = w[e] * x[src[e]]`` come from an XLA fused
-     gather.  The kernel walks edge chunks on a 1-D sequential grid; for
-     each chunk it builds a one-hot ``(R, T)`` matrix from the edges' local
-     row ids and accumulates ``onehot @ msg_chunk`` into the block's
-     ``(R, D)`` VMEM accumulator on the MXU.  Scalar-prefetched per-chunk
+  2. Device: raw source rows ``msg[e] = x[src[e]]`` come from an XLA
+     gather (in-kernel gather alternatives measured worse on this stack:
+     tpu.dynamic_gather crashes the Mosaic remote compiler, and a scalar
+     row-copy loop runs at ~184 ns/row vs XLA's ~4-7 ns/row).  The kernel
+     walks edge chunks on a 1-D sequential grid; for each chunk it builds a
+     WEIGHTED one-hot ``(R, T)`` matrix (w folded into the scatter matrix —
+     a separate ``w * msg`` pass cost 7.6 ms/step in HBM traffic) from the
+     edges' local row ids and accumulates ``onehot @ msg_chunk`` into the
+     block's ``(R, D)`` VMEM accumulator on the MXU.  ``msg_dtype=bfloat16``
+     halves gather + message HBM bytes (measured 2.6x faster gathers) and
+     runs the MXU pass at bf16 rate with fp32 accumulation — an opt-in fast
+     mode; fp32 is the parity default.  Scalar-prefetched per-chunk
      metadata (block id, first-chunk flag) drives the output block index
      map, so consecutive chunks of one block revisit the same VMEM buffer
      with no HBM round-trip.
@@ -44,7 +51,7 @@ DEFAULT_CHUNK_EDGES = 256    # T: edges per grid step (v5e sweep: T=256/R=512 be
 class PallasSegmentPlan:
     """Device-resident plan for one sparse operator direction."""
     src_padded: jax.Array      # (E_pad,) int32 source ids (pad -> 0)
-    w_padded: jax.Array        # (E_pad,) float32 weights (pad -> 0)
+    w_padded: jax.Array        # (1, E_pad) float32 weights (pad -> 0)
     local_ids: jax.Array       # (1, E_pad) int32 row id within block (pad -> R)
     block_id: jax.Array        # (G,) int32 output block per chunk
     first_chunk: jax.Array     # (G,) int32 1 if first chunk of its block
@@ -54,6 +61,7 @@ class PallasSegmentPlan:
     block_rows: int
     chunk_edges: int
     interpret: bool
+    msg_dtype: str = "float32"
 
 
 jax.tree_util.register_dataclass(
@@ -61,14 +69,15 @@ jax.tree_util.register_dataclass(
     data_fields=["src_padded", "w_padded", "local_ids", "block_id",
                  "first_chunk"],
     meta_fields=["num_dst", "num_src", "num_blocks", "block_rows",
-                 "chunk_edges", "interpret"])
+                 "chunk_edges", "interpret", "msg_dtype"])
 
 
 def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
                               num_dst: int, block_rows: int = DEFAULT_BLOCK_ROWS,
                               chunk_edges: int = DEFAULT_CHUNK_EDGES,
                               num_src: int | None = None,
-                              interpret: bool = False) -> PallasSegmentPlan:
+                              interpret: bool = False,
+                              msg_dtype: str = "float32") -> PallasSegmentPlan:
     """Host-side planning. ``src``/``dst``/``w`` must already be dst-sorted."""
     R, T = int(block_rows), int(chunk_edges)
     E = int(src.shape[0])
@@ -80,12 +89,13 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
         G0 = num_blocks
         return PallasSegmentPlan(
             src_padded=jnp.zeros((G0 * T,), jnp.int32),
-            w_padded=jnp.zeros((G0 * T,), jnp.float32),
+            w_padded=jnp.zeros((1, G0 * T), jnp.float32),
             local_ids=jnp.full((1, G0 * T), R, jnp.int32),
             block_id=jnp.arange(G0, dtype=jnp.int32),
             first_chunk=jnp.ones((G0,), jnp.int32),
             num_dst=num_dst, num_src=num_src, num_blocks=num_blocks,
-            block_rows=R, chunk_edges=T, interpret=interpret)
+            block_rows=R, chunk_edges=T, interpret=interpret,
+            msg_dtype=msg_dtype)
 
     dst = np.asarray(dst, np.int64)
     assert np.all(np.diff(dst) >= 0), "edges must be sorted by dst"
@@ -121,15 +131,16 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
 
     return PallasSegmentPlan(
         src_padded=jnp.asarray(src_padded),
-        w_padded=jnp.asarray(w_padded),
+        w_padded=jnp.asarray(w_padded.reshape(1, E_pad)),
         local_ids=jnp.asarray(lid_flat.reshape(1, G * T)),
         block_id=jnp.asarray(block_id),
         first_chunk=jnp.asarray(first_chunk),
         num_dst=num_dst, num_src=num_src, num_blocks=int(num_blocks),
-        block_rows=R, chunk_edges=T, interpret=interpret)
+        block_rows=R, chunk_edges=T, interpret=interpret,
+        msg_dtype=msg_dtype)
 
 
-def _segment_kernel(block_ref, first_ref, lid_ref, msg_ref, out_ref, *,
+def _segment_kernel(block_ref, first_ref, lid_ref, w_ref, msg_ref, out_ref, *,
                     R: int, T: int):
     from jax.experimental import pallas as pl
 
@@ -141,8 +152,12 @@ def _segment_kernel(block_ref, first_ref, lid_ref, msg_ref, out_ref, *,
 
     lid = lid_ref[:]                                           # (1, T)
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
-    onehot = (rows == lid).astype(jnp.float32)                 # (R, T)
-    out_ref[:] += jnp.dot(onehot, msg_ref[:],
+    # Weighted one-hot: folding w into the scatter matrix applies the
+    # per-edge weight inside the MXU pass.  Doing `w * msg` outside the
+    # kernel cost two extra full HBM passes over the E_pad x D message
+    # array (profiled at ~7.6 ms/step at reference scale).
+    onehot = jnp.where(rows == lid, w_ref[:], 0.0)             # (R, T)
+    out_ref[:] += jnp.dot(onehot.astype(msg_ref.dtype), msg_ref[:],
                           preferred_element_type=jnp.float32)
 
 
@@ -155,13 +170,19 @@ def apply_pallas(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
     D = x.shape[-1]
     G = plan.local_ids.shape[1] // T
 
-    msg = x[plan.src_padded] * plan.w_padded[:, None].astype(x.dtype)
-    msg = msg.astype(jnp.float32)
+    # Raw gather only — the per-edge weight is applied inside the kernel
+    # (folded into the one-hot matrix), saving two HBM passes over msg.
+    # bf16 mode casts the TABLE first so the gather itself moves half the
+    # bytes (gather time scales with bytes on v5e, measured 2.6x).
+    msg_dtype = jnp.dtype(plan.msg_dtype)
+    msg = x.astype(msg_dtype)[plan.src_padded]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
+            pl.BlockSpec((1, T), lambda g, blk, first: (0, g),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T), lambda g, blk, first: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, D), lambda g, blk, first: (g, 0),
@@ -181,9 +202,10 @@ def apply_pallas(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=msg.size * 4 + plan.num_blocks * R * D * 4,
+            bytes_accessed=msg.size * msg_dtype.itemsize
+            + plan.num_blocks * R * D * 4,
             transcendentals=0),
         interpret=plan.interpret,
-    )(plan.block_id, plan.first_chunk, plan.local_ids, msg)
+    )(plan.block_id, plan.first_chunk, plan.local_ids, plan.w_padded, msg)
 
     return y_comp[:plan.num_dst].astype(x.dtype)

@@ -162,6 +162,7 @@ class RecConfig(ConfigBase):
     # (bfloat16 streams are a measured non-win: the source gather is
     # row-count-bound, not byte-bound).
     spmm_backend: str = "auto"        # "auto" | "xla" | "pallas"
+    spmm_precision: str = "fp32"      # "fp32" (parity) | "bf16" (fast mode)
 
     # Checkpointing
     out_dir: Optional[str] = None

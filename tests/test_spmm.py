@@ -152,3 +152,29 @@ def test_resolve_backend():
     assert resolve_backend("xla") == "xla"
     assert resolve_backend("pallas") == "pallas"
     assert resolve_backend("auto") in ("xla", "pallas")  # cpu tests -> xla
+
+
+def test_pallas_bf16_mode_close_to_fp32(rng):
+    """spmm_precision='bf16' quantizes gather/messages to bfloat16 but keeps
+    fp32 accumulation — results within bf16 rounding of the dense oracle."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops import spmm_pallas as sp
+
+    em = _random_edge_map(rng, num_src=60, num_dst=300, E=1200)
+    order = np.argsort(em.dst, kind="stable")
+    plan = sp.build_pallas_segment_plan(
+        em.src[order], em.dst[order], em.w[order], em.num_dst,
+        num_src=em.num_src, block_rows=8, chunk_edges=16, interpret=True,
+        msg_dtype="bfloat16")
+    x = jnp.asarray(rng.normal(size=(em.num_src, 8)).astype(np.float32))
+    y = sp.apply_pallas(plan, x)
+    assert y.dtype == x.dtype  # output restored to input dtype
+    expect = em.to_dense() @ np.asarray(x, np.float64)
+    scale = np.abs(expect).max() + 1e-6
+    err = np.abs(np.asarray(y, np.float64) - expect).max() / scale
+    assert err < 3e-2, err  # bf16 inputs: ~8-bit mantissa
+    # and meaningfully different tolerance class from exact-fp32 path
+    plan32 = sp.build_pallas_segment_plan(
+        em.src[order], em.dst[order], em.w[order], em.num_dst,
+        num_src=em.num_src, block_rows=8, chunk_edges=16, interpret=True)
+    y32 = sp.apply_pallas(plan32, x)
+    np.testing.assert_allclose(np.asarray(y32), expect, rtol=1e-4, atol=1e-4)
