@@ -146,16 +146,9 @@ def _sampled_batch(key, user_emb, item_emb, users, eval_csr: DeviceCSR,
 
 @functools.partial(jax.jit, static_argnames=("Ks", "extended", "total_train",
                                               "num_items"))
-def _full_batch(user_emb, item_emb, users, train_padded_rows,
-                test_csr: DeviceCSR, item_pop, Ks: tuple, extended: bool,
-                total_train: int, num_items: int):
-    scores = user_emb[users] @ item_emb.T                       # (B, I)
-    pad = jnp.zeros((scores.shape[0], 1), scores.dtype)
-    ext = jnp.concatenate([scores, pad], axis=1)
-    rows = jnp.arange(scores.shape[0])[:, None]
-    ext = ext.at[rows, train_padded_rows[users]].set(-1e9)
-    scores = ext[:, :-1]
-    _, topk_items = jax.lax.top_k(scores, max(Ks))
+def _full_metrics_from_topk(topk_items, users, test_csr: DeviceCSR, item_pop,
+                            Ks: tuple, extended: bool, total_train: int,
+                            num_items: int):
     hits = row_contains(test_csr, users, topk_items)
     gt_len = test_csr.indptr[users + 1] - test_csr.indptr[users]
     per_user = topk_metrics(hits, gt_len, Ks)
@@ -166,6 +159,22 @@ def _full_batch(user_emb, item_emb, users, train_padded_rows,
             logpop[K], selfinfo[K] = novelty_stats(
                 topk_items[:, :K], item_pop, total_train, num_items)
     return per_user, topk_items, logpop, selfinfo
+
+
+@functools.partial(jax.jit, static_argnames=("Ks", "extended", "total_train",
+                                              "num_items"))
+def _full_batch(user_emb, item_emb, users, train_padded_rows,
+                test_csr: DeviceCSR, item_pop, Ks: tuple, extended: bool,
+                total_train: int, num_items: int):
+    scores = user_emb[users] @ item_emb.T                       # (B, I)
+    pad = jnp.zeros((scores.shape[0], 1), scores.dtype)
+    ext = jnp.concatenate([scores, pad], axis=1)
+    rows = jnp.arange(scores.shape[0])[:, None]
+    ext = ext.at[rows, train_padded_rows[users]].set(-1e9)
+    scores = ext[:, :-1]
+    _, topk_items = jax.lax.top_k(scores, max(Ks))
+    return _full_metrics_from_topk(topk_items, users, test_csr, item_pop,
+                                   Ks, extended, total_train, num_items)
 
 
 class _Accumulator:
@@ -274,7 +283,13 @@ def evaluate_sampled(key: jax.Array, user_emb: jax.Array, item_emb: jax.Array,
 def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
                   split: str, Ks: Sequence[int] = (10, 20), batch: int = 512,
                   extended: bool = False, cred: Optional[np.ndarray] = None,
-                  cred_group_pct: float = 0.20) -> Dict[int, Dict[str, float]]:
+                  cred_group_pct: float = 0.20,
+                  mesh=None) -> Dict[int, Dict[str, float]]:
+    """Full-catalog masked ranking (lightgcn.py:459-509).
+
+    With ``mesh``, the score matmul + masked top-k run column-sharded over
+    the model axis with a distributed merge (parallel/sharded_topk.py) —
+    the SURVEY §3.5 hot-loop-3 north star."""
     users = ctx.eval_users[split] if split in ctx.eval_users else \
         np.nonzero(ctx.graph.user_csr(split).degrees() > 0)[0]
     if users.size == 0:
@@ -282,10 +297,19 @@ def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
     eval_csr = ctx.split_csr(split)
     acc = _Accumulator(Ks, extended)
     for bu, n_valid in _batched(users, batch):
-        per_user, topk_items, logpop, selfinfo = _full_batch(
-            user_emb, item_emb, bu, ctx.train_padded_rows, eval_csr,
-            ctx.item_pop_dev, tuple(Ks), extended, ctx.total_train,
-            ctx.graph.num_items)
+        if mesh is not None:
+            from .retrieval import topk_for_users
+            _, topk_items = topk_for_users(
+                user_emb, item_emb, bu, max(Ks),
+                exclude_rows=ctx.train_padded_rows, mesh=mesh)
+            per_user, topk_items, logpop, selfinfo = _full_metrics_from_topk(
+                topk_items, bu, eval_csr, ctx.item_pop_dev, tuple(Ks),
+                extended, ctx.total_train, ctx.graph.num_items)
+        else:
+            per_user, topk_items, logpop, selfinfo = _full_batch(
+                user_emb, item_emb, bu, ctx.train_padded_rows, eval_csr,
+                ctx.item_pop_dev, tuple(Ks), extended, ctx.total_train,
+                ctx.graph.num_items)
         acc.add(per_user, n_valid, topk_items if extended else None, logpop,
                 selfinfo)
     return acc.results("full", ctx.graph.num_items, users, cred,

@@ -120,6 +120,25 @@ class LightGCN:
             return spmm_apply(state_pair[0], state_pair[1], x)
         return op(x)
 
+    def _padded_chain(self):
+        """Mesh-sharded operators expose padded span layouts
+        (parallel/sharded_spmm.py); when the chain's layouts line up, the
+        whole K-layer propagation can stay in padded row-sharded form and
+        convert dense<->padded once per call instead of once per operator."""
+        if self.cfg.propagation == "symmetric":
+            op = self.joint_op
+            if getattr(op, "padded_chain", False) and \
+                    op.src_layout.equals(op.dst_layout):
+                return op
+            return None
+        a, b = self.item_from_user, self.user_from_item
+        if (getattr(a, "padded_chain", False)
+                and getattr(b, "padded_chain", False)
+                and a.dst_layout.equals(b.src_layout)
+                and b.dst_layout.equals(a.src_layout)):
+            return (a, b)
+        return None
+
     def propagate(self, params: Params,
                   state=None) -> Tuple[jax.Array, jax.Array]:
         K = self.cfg.num_layers
@@ -133,33 +152,60 @@ class LightGCN:
         prop_dtype = (jnp.bfloat16 if getattr(self.cfg, "spmm_precision",
                                               "fp32") == "bf16"
                       else jnp.float32)
+        chain = self._padded_chain()
         if mode == "symmetric":
             x = params["emb"] if "emb" in params else jnp.concatenate(
                 [params["user_emb"], params["item_emb"]], axis=0)
             x = x.astype(prop_dtype)
-            acc = x.astype(jnp.float32)
-            for _ in range(K):
-                x = self._apply(self.joint_op, state["joint"], x)
-                acc = acc + x.astype(jnp.float32)
-            final = acc / (K + 1)
+            if chain is not None:
+                op = chain
+                x = op.src_layout.to_padded(x)
+                acc = x
+                for _ in range(K):
+                    x = op.apply_padded(x)
+                    acc = acc + x
+                final = op.src_layout.from_padded(acc / (K + 1))
+            else:
+                acc = x.astype(jnp.float32)
+                for _ in range(K):
+                    x = self._apply(self.joint_op, state["joint"], x)
+                    acc = acc + x.astype(jnp.float32)
+                final = acc / (K + 1)
+            final = final.astype(jnp.float32)
             return final[:self.num_users], final[self.num_users:]
 
         u, i = ego_tables(params, self.num_users)
         u = u.astype(prop_dtype)
         i = i.astype(prop_dtype)
+        if chain is not None:
+            ifu, ufi = chain
+            u = ifu.src_layout.to_padded(u)
+            i = ufi.src_layout.to_padded(i)
+            apply_ifu, apply_ufi = ifu.apply_padded, ufi.apply_padded
+        else:
+            apply_ifu = lambda x: self._apply(self.item_from_user,
+                                              state["ifu"], x)
+            apply_ufi = lambda x: self._apply(self.user_from_item,
+                                              state["ufi"], x)
         acc_u, acc_i = u.astype(jnp.float32), i.astype(jnp.float32)
         for _ in range(K):
             if mode == "bipartite_sync":
                 # Jacobi: both updates read layer k (lightgcn_cu.py:429-439)
-                new_i = self._apply(self.item_from_user, state["ifu"], u)
-                new_u = self._apply(self.user_from_item, state["ufi"], i)
+                new_i = apply_ifu(u)
+                new_u = apply_ufi(i)
                 u, i = new_u, new_i
             else:  # gauss_seidel (lightgcn_cu_message.py:421-423)
-                i = self._apply(self.item_from_user, state["ifu"], u)
-                u = self._apply(self.user_from_item, state["ufi"], i)
+                i = apply_ifu(u)
+                u = apply_ufi(i)
             acc_u = acc_u + u.astype(jnp.float32)
             acc_i = acc_i + i.astype(jnp.float32)
-        return acc_u / (K + 1), acc_i / (K + 1)
+        acc_u = acc_u / (K + 1)
+        acc_i = acc_i / (K + 1)
+        if chain is not None:
+            ifu, ufi = chain
+            acc_u = ifu.src_layout.from_padded(acc_u)
+            acc_i = ufi.src_layout.from_padded(acc_i)
+        return acc_u, acc_i
 
     # -- scoring ----------------------------------------------------------
 

@@ -2,24 +2,37 @@
 
 SURVEY.md §5: the reference has no sequences — the analog of sequence
 parallelism here is sharding the propagation itself.  Scheme (scaling-book
-style, chosen for small embedding dims where activations are cheap to
-replicate relative to edge traffic):
+style):
 
-  * destination rows are partitioned into contiguous, equal-size ranges,
-    one per device on the ``model`` axis;
-  * each device owns the edge shard landing in its range (padded to a
-    common length so SPMD shapes match), stored as stacked per-device
-    arrays sharded on the leading axis;
-  * inside ``shard_map``: all-gather the row-sharded source embeddings
-    over ICI, run the LOCAL weighted segment-sum, emit the local
-    destination rows — the output stays row-sharded;
-  * backward = the transpose operator with source/destination swapped,
-    wired through a custom VJP (never XLA's gather-VJP scatter).
+  * **Edge-count-balanced spans** (SURVEY.md §7 "load-balance edge blocks by
+    edge count, not node count"): each node space (users / items / joint) is
+    partitioned into P contiguous row spans whose edge counts are balanced
+    at row granularity, then embedded in a *padded span layout* — a
+    (P * rows_max, D) array, evenly shardable over ``model``, where device
+    d's shard holds its span followed by zero padding.  Imbalance is
+    bounded by the max single-row degree instead of the span row count.
+  * Each device owns the edges landing in its destination span (padded to a
+    common e_max; with balanced spans the edge padding waste is bounded and
+    tested <20% on zipf graphs).
+  * **Source exchange**, two modes inside ``shard_map``:
+      - "allgather": all-gather the row-sharded padded source table over
+        ICI (right at small tables: simple ring collective at full
+        bandwidth);
+      - "halo": all-to-all of only the *needed* rows — each owner gathers
+        the precomputed per-receiver row lists from its local shard and
+        ships them with one ``lax.all_to_all``; edges then index the
+        receive buffer directly.  Volume is sum(unique rows needed) instead
+        of P copies of the table — the win grows with table size and mesh
+        (printed at build time).
+  * Local weighted segment-sum lands in the device's padded span; the
+    output stays row-sharded.  Backward = the transpose operator (source /
+    destination and their layouts swapped) via custom VJP — never XLA's
+    gather-VJP scatter.
 
-Power-law caveat: ranges are equal in *rows*, so edge counts can skew
-across devices; the per-shard padding absorbs it at some waste.  Edge-count
-balanced ranges (uneven row spans + re-slicing) are the follow-up
-optimization.
+Layouts are derived deterministically from edge degrees, so the two
+directions of a bipartite model produce *equal* layouts per node space and
+K-layer chains can stay in padded form end-to-end
+(models/lightgcn.py propagate's padded chain).
 """
 
 from __future__ import annotations
@@ -36,115 +49,304 @@ from ..graph.operators import EdgeMap
 from .mesh import MODEL_AXIS
 
 
+# ---------------------------------------------------------------------------
+# Padded span layout of a node space
+# ---------------------------------------------------------------------------
+
+def balanced_spans(weights: np.ndarray, n_dev: int) -> np.ndarray:
+    """(P+1,) span boundaries with ~equal total weight per span.
+
+    A small uniform weight floor spreads zero-degree rows instead of piling
+    them into the last span.
+    """
+    n = weights.shape[0]
+    w = weights.astype(np.float64) + max(weights.sum() / max(n, 1), 1.0) * 0.05
+    cum = np.concatenate([[0.0], np.cumsum(w)])
+    targets = cum[-1] * np.arange(1, n_dev) / n_dev
+    cuts = np.searchsorted(cum, targets, side="left")
+    bounds = np.concatenate([[0], cuts, [n]]).astype(np.int64)
+    return np.maximum.accumulate(bounds)   # enforce monotone under ties
+
+
+class SpanLayout:
+    """Padded span layout: N rows -> (P * rows_max) slots, evenly shardable."""
+
+    def __init__(self, boundaries: np.ndarray, mesh: Mesh):
+        self.mesh = mesh
+        self.P = int(mesh.shape[MODEL_AXIS])
+        assert boundaries.shape[0] == self.P + 1
+        self.boundaries = boundaries.astype(np.int64)
+        self.num_rows = int(boundaries[-1])
+        spans = np.diff(self.boundaries)
+        self.rows_max = max(int(spans.max()), 1)
+        self.padded_rows = self.P * self.rows_max
+
+        rows = np.arange(self.num_rows, dtype=np.int64)
+        dev = np.searchsorted(self.boundaries, rows, side="right") - 1
+        fwd = dev * self.rows_max + (rows - self.boundaries[dev])
+        inv = np.zeros(self.padded_rows, np.int64)
+        mask = np.zeros(self.padded_rows, bool)
+        inv[fwd] = rows
+        mask[fwd] = True
+
+        self._fwd_np = fwd.astype(np.int32)
+        row_shard = NamedSharding(mesh, P(MODEL_AXIS, None))
+        self.fwd = jax.device_put(fwd.astype(np.int32))
+        self.inv = jax.device_put(inv.astype(np.int32))
+        self.mask = jax.device_put(
+            mask.astype(np.float32)[:, None], row_shard)
+        self._row_shard = row_shard
+
+    def equals(self, other: "SpanLayout") -> bool:
+        return (other is self or
+                np.array_equal(self.boundaries, other.boundaries))
+
+    def slot_of(self, rows: np.ndarray) -> np.ndarray:
+        """Host-side global row -> padded slot."""
+        return self._fwd_np[rows]
+
+    # Conversions are a dual pair of gathers; their VJPs are each other's
+    # gather (never an XLA scatter).
+    def to_padded(self, x: jax.Array) -> jax.Array:
+        return _to_padded(self, x)
+
+    def from_padded(self, p: jax.Array) -> jax.Array:
+        return _from_padded(self, p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _to_padded(layout: SpanLayout, x: jax.Array) -> jax.Array:
+    p = x[layout.inv] * layout.mask.astype(x.dtype)
+    return jax.lax.with_sharding_constraint(p, layout._row_shard)
+
+
+def _to_padded_fwd(layout, x):
+    return _to_padded(layout, x), None
+
+
+def _to_padded_bwd(layout, _, g):
+    return (g[layout.fwd],)
+
+
+_to_padded.defvjp(_to_padded_fwd, _to_padded_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _from_padded(layout: SpanLayout, p: jax.Array) -> jax.Array:
+    return p[layout.fwd]
+
+
+def _from_padded_fwd(layout, p):
+    return _from_padded(layout, p), None
+
+
+def _from_padded_bwd(layout, _, g):
+    gp = g[layout.inv] * layout.mask.astype(g.dtype)
+    return (jax.lax.with_sharding_constraint(gp, layout._row_shard),)
+
+
+_from_padded.defvjp(_from_padded_fwd, _from_padded_bwd)
+
+
+# ---------------------------------------------------------------------------
+# One direction's device-stacked plan
+# ---------------------------------------------------------------------------
+
 @dataclass(frozen=True)
-class _ShardedDir:
-    """Stacked per-device edge arrays for one direction."""
-    src: jax.Array        # (Pdev, E_max) int32, dst-sorted within shard
-    dst_local: jax.Array  # (Pdev, E_max) int32 local dst row (pad -> rows_per)
-    w: jax.Array          # (Pdev, E_max) float32 (pad -> 0)
-    rows_per: int         # dst rows per device (padded)
-    num_src: int
-    num_dst: int
+class _DirPlan:
+    src_ref: jax.Array     # (P, e_max) int32 — padded-slot (allgather) or
+    #                        recv-buffer (halo) index per edge; pad -> 0
+    dst_local: jax.Array   # (P, e_max) int32 local dst slot (pad -> rows_max)
+    w: jax.Array           # (P, e_max) float32 (pad -> 0)
+    send_idx: jax.Array | None   # (P, P, H_max) int32 local slots to ship
+    e_max: int
+    h_max: int
+    pad_fraction: float
 
 
-def _build_dir(edge_map: EdgeMap, n_dev: int) -> _ShardedDir:
-    rows_per = -(-edge_map.num_dst // n_dev)
-    owner = edge_map.dst // rows_per
-    order = np.lexsort((edge_map.dst, owner))
-    src = edge_map.src[order]
-    dst = edge_map.dst[order]
-    w = edge_map.w[order]
-    own = owner[order]
+def _plan_dir(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+              src_layout: SpanLayout, dst_layout: SpanLayout,
+              mesh: Mesh, mode: str) -> _DirPlan:
+    n_dev = dst_layout.P
+    E = src.shape[0]
+    src_slot = src_layout.slot_of(src)
+    dst_slot = dst_layout.slot_of(dst)
+    owner = dst_slot // dst_layout.rows_max
+    order = np.lexsort((dst_slot, owner))
+    src_slot, dst_slot, w, owner = (src_slot[order], dst_slot[order],
+                                    w[order], owner[order])
 
-    counts = np.bincount(own, minlength=n_dev)
+    counts = np.bincount(owner, minlength=n_dev)
     e_max = max(int(counts.max()), 1)
-    src_p = np.zeros((n_dev, e_max), np.int32)
-    dst_p = np.full((n_dev, e_max), rows_per, np.int32)  # pad -> scratch row
-    w_p = np.zeros((n_dev, e_max), np.float32)
+    pad_fraction = float(n_dev * e_max - E) / max(n_dev * e_max, 1)
     starts = np.zeros(n_dev + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
+
+    src_ref = np.zeros((n_dev, e_max), np.int32)
+    dst_loc = np.full((n_dev, e_max), dst_layout.rows_max, np.int32)
+    w_p = np.zeros((n_dev, e_max), np.float32)
     for d in range(n_dev):
         s, e = starts[d], starts[d + 1]
         k = e - s
-        src_p[d, :k] = src[s:e]
-        dst_p[d, :k] = dst[s:e] - d * rows_per
+        dst_loc[d, :k] = dst_slot[s:e] - d * dst_layout.rows_max
         w_p[d, :k] = w[s:e]
 
-    return _ShardedDir(src=jnp.asarray(src_p), dst_local=jnp.asarray(dst_p),
-                       w=jnp.asarray(w_p), rows_per=rows_per,
-                       num_src=edge_map.num_src, num_dst=edge_map.num_dst)
+    send_idx = None
+    h_max = 1
+    if mode == "allgather":
+        for d in range(n_dev):
+            s, e = starts[d], starts[d + 1]
+            src_ref[d, :e - s] = src_slot[s:e]
+    else:
+        # phase 1: per (owner o, receiver d) unique local row lists + ranks
+        uniq_lists = {}
+        ranks = [None] * n_dev           # per receiver: (owner, rank) arrays
+        for d in range(n_dev):
+            s, e = starts[d], starts[d + 1]
+            ss = src_slot[s:e]
+            so = ss // src_layout.rows_max
+            sl = ss - so * src_layout.rows_max
+            rank = np.zeros(e - s, np.int64)
+            for o in range(n_dev):
+                sel = so == o
+                uniq, inverse = np.unique(sl[sel], return_inverse=True)
+                uniq_lists[(o, d)] = uniq
+                rank[sel] = inverse
+                h_max = max(h_max, int(uniq.size))
+            ranks[d] = (so, rank)
+        # phase 2: recv-buffer index = owner * h_max + rank
+        for d in range(n_dev):
+            s, e = starts[d], starts[d + 1]
+            so, rank = ranks[d]
+            src_ref[d, :e - s] = (so * h_max + rank).astype(np.int32)
+        send_idx = np.zeros((n_dev, n_dev, h_max), np.int32)
+        for (o, d), u in uniq_lists.items():
+            if u.size:
+                send_idx[o, d, :u.size] = u
+
+    shard0 = NamedSharding(mesh, P(MODEL_AXIS))
+    put = lambda a: jax.device_put(jnp.asarray(a), shard0)
+    return _DirPlan(
+        src_ref=put(src_ref), dst_local=put(dst_loc), w=put(w_p),
+        send_idx=put(send_idx) if send_idx is not None else None,
+        e_max=e_max, h_max=h_max, pad_fraction=pad_fraction)
 
 
-def _local_apply(src, dst_local, w, x_full, rows_per):
-    """One device's weighted segment-sum into its local row range (+1
-    scratch row swallowing the padding)."""
-    msg = x_full[src] * w[:, None].astype(x_full.dtype)
-    y = jax.ops.segment_sum(msg, dst_local, num_segments=rows_per + 1)
-    return y[:rows_per]
-
+# ---------------------------------------------------------------------------
+# The operator
+# ---------------------------------------------------------------------------
 
 class ShardedSpmmOperator:
-    """y = A @ x with x row-sharded over ``model`` and y row-sharded over
-    ``model``; collectives: one all-gather of x per application."""
+    """y = A @ x over the mesh with edge-balanced spans.
 
-    def __init__(self, edge_map: EdgeMap, mesh: Mesh):
+    ``apply(x)`` is dense-to-dense (layout conversions inside);
+    ``apply_padded`` chains in padded layout (models/lightgcn.py uses it to
+    convert once per propagate instead of once per operator).
+    """
+
+    padded_chain = True
+
+    def __init__(self, edge_map: EdgeMap, mesh: Mesh, mode: str = "halo",
+                 src_layout: SpanLayout | None = None,
+                 dst_layout: SpanLayout | None = None,
+                 verbose: bool = False):
+        assert mode in ("halo", "allgather"), mode
         self.mesh = mesh
-        n_dev = mesh.shape[MODEL_AXIS]
+        self.mode = mode
         self.num_src = edge_map.num_src
         self.num_dst = edge_map.num_dst
-        self._fwd = _build_dir(edge_map, n_dev)
-        self._bwd = _build_dir(
-            EdgeMap(src=edge_map.dst, dst=edge_map.src, w=edge_map.w,
-                    num_src=edge_map.num_dst, num_dst=edge_map.num_src),
-            n_dev)
+        n_dev = mesh.shape[MODEL_AXIS]
 
-        data_spec = P(MODEL_AXIS)          # stacked per-device arrays
-        x_spec = P(MODEL_AXIS, None)       # row-sharded tables
+        if src_layout is None:
+            src_layout = SpanLayout(balanced_spans(
+                np.bincount(edge_map.src, minlength=edge_map.num_src),
+                n_dev), mesh)
+        if dst_layout is None:
+            dst_layout = SpanLayout(balanced_spans(
+                np.bincount(edge_map.dst, minlength=edge_map.num_dst),
+                n_dev), mesh)
+        self.src_layout = src_layout
+        self.dst_layout = dst_layout
 
-        def _shard_dir(d: _ShardedDir) -> _ShardedDir:
-            sh = NamedSharding(mesh, data_spec)
-            return _ShardedDir(
-                src=jax.device_put(d.src, sh),
-                dst_local=jax.device_put(d.dst_local, sh),
-                w=jax.device_put(d.w, sh),
-                rows_per=d.rows_per, num_src=d.num_src, num_dst=d.num_dst)
+        self._fwd = _plan_dir(edge_map.src, edge_map.dst, edge_map.w,
+                              src_layout, dst_layout, mesh, mode)
+        self._bwd = _plan_dir(edge_map.dst, edge_map.src, edge_map.w,
+                              dst_layout, src_layout, mesh, mode)
+        self.pad_fraction = self._fwd.pad_fraction
 
-        self._fwd = _shard_dir(self._fwd)
-        self._bwd = _shard_dir(self._bwd)
+        D_note = "D"  # per-application volume, in rows of width D
+        if mode == "halo":
+            self.collective_rows = n_dev * n_dev * self._fwd.h_max
+            alt = (n_dev - 1) * src_layout.padded_rows
+            self._volume_note = (
+                f"halo all-to-all ~{self.collective_rows} row-slots x {D_note}"
+                f" vs allgather {alt}")
+        else:
+            self.collective_rows = (n_dev - 1) * src_layout.padded_rows
+            self._volume_note = (
+                f"allgather {self.collective_rows} row-slots x {D_note}")
+        if verbose:
+            print(f"[sharded-spmm] mode={mode} e_max={self._fwd.e_max} "
+                  f"pad={self.pad_fraction:.1%} {self._volume_note}")
 
-        def _make_apply(d: _ShardedDir):
-            @functools.partial(
-                jax.shard_map, mesh=mesh,
-                in_specs=(data_spec, data_spec, data_spec, x_spec),
-                out_specs=x_spec)
-            def f(src, dst_local, w, x):
-                x_full = jax.lax.all_gather(x, MODEL_AXIS, axis=0, tiled=True)
-                return _local_apply(src[0], dst_local[0], w[0], x_full,
-                                    d.rows_per)
-
-            def apply(x):
-                # uniform row shards: pad the source table to n_dev-divisible
-                n_pad_src = -(-d.num_src // n_dev) * n_dev
-                if x.shape[0] != n_pad_src:
-                    xp = jnp.zeros((n_pad_src, x.shape[1]), x.dtype
-                                   ).at[:x.shape[0]].set(x)
-                else:
-                    xp = x
-                y = f(d.src, d.dst_local, d.w, xp)
-                return y[:d.num_dst]
-
-            return apply
-
-        fwd_apply = _make_apply(self._fwd)
-        bwd_apply = _make_apply(self._bwd)
+        fwd_apply = self._make_apply(self._fwd, src_layout, dst_layout)
+        bwd_apply = self._make_apply(self._bwd, dst_layout, src_layout)
 
         @jax.custom_vjp
-        def _matvec(x):
-            return fwd_apply(x)
+        def _matvec_padded(xp):
+            return fwd_apply(xp)
 
-        _matvec.defvjp(lambda x: (fwd_apply(x), None),
-                       lambda _, g: (bwd_apply(g),))
-        self.apply = _matvec
+        _matvec_padded.defvjp(lambda xp: (fwd_apply(xp), None),
+                              lambda _, g: (bwd_apply(g),))
+        self.apply_padded = _matvec_padded
+
+    def _make_apply(self, plan: _DirPlan, src_layout: SpanLayout,
+                    dst_layout: SpanLayout):
+        mesh = self.mesh
+        rows_max_dst = dst_layout.rows_max
+        mode = self.mode
+        stacked = P(MODEL_AXIS)
+        table = P(MODEL_AXIS, None)
+
+        if mode == "allgather":
+            @functools.partial(jax.shard_map, mesh=mesh,
+                               in_specs=(stacked, stacked, stacked, table),
+                               out_specs=table)
+            def f(src_ref, dst_local, w, xp):
+                x_full = jax.lax.all_gather(xp, MODEL_AXIS, axis=0,
+                                            tiled=True)
+                msg = x_full[src_ref[0]] * w[0][:, None].astype(x_full.dtype)
+                y = jax.ops.segment_sum(msg, dst_local[0],
+                                        num_segments=rows_max_dst + 1)
+                return y[:rows_max_dst]
+
+            return lambda xp: f(plan.src_ref, plan.dst_local, plan.w, xp)
+
+        h_max = plan.h_max
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(stacked, stacked, stacked, stacked,
+                                     table),
+                           out_specs=table)
+        def f(send_idx, src_ref, dst_local, w, xp):
+            # ship only the rows each receiver needs: gather my shard's
+            # per-receiver row lists, one all-to-all over ICI
+            buf = xp[send_idx[0]]                      # (P, H_max, D)
+            recv = jax.lax.all_to_all(buf, MODEL_AXIS, split_axis=0,
+                                      concat_axis=0, tiled=False)
+            flat = recv.reshape(-1, xp.shape[-1])      # (P*H_max, D)
+            msg = flat[src_ref[0]] * w[0][:, None].astype(flat.dtype)
+            y = jax.ops.segment_sum(msg, dst_local[0],
+                                    num_segments=rows_max_dst + 1)
+            return y[:rows_max_dst]
+
+        return lambda xp: f(plan.send_idx, plan.src_ref, plan.dst_local,
+                            plan.w, xp)
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        xp = self.src_layout.to_padded(x)
+        yp = self.apply_padded(xp)
+        return self.dst_layout.from_padded(yp)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.apply(x)

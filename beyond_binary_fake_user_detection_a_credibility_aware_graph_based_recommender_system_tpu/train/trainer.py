@@ -71,11 +71,23 @@ class FitResult:
 class RecTrainer:
     def __init__(self, cfg: RecConfig, graph: BipartiteGraph,
                  cred: Optional[np.ndarray] = None, verbose: bool = True,
-                 operator_factory=None):
+                 operator_factory=None, mesh=None):
+        """``mesh``: a (data, model) ``jax.sharding.Mesh``.  When given, the
+        FULL training path runs sharded end to end: propagation through
+        edge-sharded operators (parallel/sharded_spmm.py, padded-chain),
+        embedding tables + Adam state row-sharded over ``model``, BPR
+        batches sharded over ``data``, and full-catalog eval through the
+        distributed top-k (SURVEY.md C34 build target)."""
         cfg.validate()
         self.cfg = cfg
         self.graph = graph
         self.verbose = verbose
+        self.mesh = mesh
+        if mesh is not None and operator_factory is None:
+            import functools
+            from ..parallel.sharded_spmm import ShardedSpmmOperator
+            operator_factory = functools.partial(
+                ShardedSpmmOperator, mesh=mesh, mode=cfg.sharded_spmm_mode)
 
         if cred is None and cfg.cred_csv_path:
             cred = load_credibility_vector(cfg.cred_csv_path, graph.num_users,
@@ -117,6 +129,22 @@ class RecTrainer:
         params = init_params(kinit, self.cfg, self.graph.num_users,
                              self.graph.num_items)
         opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            from ..parallel.mesh import MODEL_AXIS, replicated, row_sharded
+            n_model = self.mesh.shape[MODEL_AXIS]
+            rep = replicated(self.mesh)
+
+            def sharding_for(x):
+                # row-shard (N, D) tables when N divides the model axis;
+                # otherwise replicate (arbitrary graph sizes)
+                if getattr(x, "ndim", 0) >= 2 and x.shape[0] % n_model == 0:
+                    return row_sharded(self.mesh)
+                return rep
+
+            params = jax.device_put(
+                params, {k: sharding_for(v) for k, v in params.items()})
+            opt_state = jax.tree.map(
+                lambda x: jax.device_put(x, sharding_for(x)), opt_state)
         return params, opt_state, key
 
     # ------------------------------------------------------------------
@@ -126,6 +154,11 @@ class RecTrainer:
                 "popmix": self.popmix, "pop_norm": self.pop_norm}
 
     def _sample_batch(self, key, users, bundle):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import DATA_AXIS
+            users = jax.lax.with_sharding_constraint(
+                users, NamedSharding(self.mesh, PartitionSpec(DATA_AXIS)))
         kp, kn = jax.random.split(key)
         pos = sample_positives(kp, bundle["train_csr"], users)
         if bundle["popmix"] is not None:
@@ -217,7 +250,8 @@ class RecTrainer:
         if cfg.eval_mode == "full":
             return evaluate_full(user_emb, item_emb, self.ctx, split,
                                  Ks=cfg.Ks, extended=extended, cred=self.cred,
-                                 cred_group_pct=cfg.cred_group_pct)
+                                 cred_group_pct=cfg.cred_group_pct,
+                                 mesh=self.mesh)
         if key is None:
             # dedicated eval stream, reference's seed+999 (lightgcn.py:406)
             key = jax.random.PRNGKey(cfg.seed + 999)

@@ -163,6 +163,9 @@ class RecConfig(ConfigBase):
     # row-count-bound, not byte-bound).
     spmm_backend: str = "auto"        # "auto" | "xla" | "pallas"
     spmm_precision: str = "fp32"      # "fp32" (parity) | "bf16" (fast mode)
+    # mesh-sharded propagation: "halo" = all-to-all of needed rows,
+    # "allgather" = replicate the source table (parallel/sharded_spmm.py)
+    sharded_spmm_mode: str = "halo"
 
     # Checkpointing
     out_dir: Optional[str] = None

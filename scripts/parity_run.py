@@ -1,0 +1,189 @@
+"""Quality-parity harness: framework vs reference-oracle on a shared graph.
+
+Usage:
+  python scripts/parity_run.py build --out runs/parity/graph.npz
+  python scripts/parity_run.py framework --graph ... --config vanilla --seed 0
+  python scripts/parity_run.py report --dir runs/parity
+
+The oracle side is scripts/parity_oracle.py (torch CPU, reference
+semantics).  Both sides train on the SAME synthetic graph + md5 splits,
+same protocol (epochs, eval cadence, sampled 1+99 eval, best-on-val-R@20),
+and are compared as mean +/- std over seeds in docs/PARITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+CONFIG_MAP = {
+    # parity preset fields for the framework side (all reference-protocol)
+    "vanilla": dict(propagation="symmetric", weight_mode="symmetric",
+                    table_layout="joint", negative_sampler="uniform"),
+    "cu_message": dict(propagation="gauss_seidel", weight_mode="cu_message",
+                       table_layout="split", negative_sampler="uniform"),
+    "pop_neg": dict(propagation="gauss_seidel", weight_mode="cu_message",
+                    table_layout="split", negative_sampler="popmix"),
+}
+
+
+def cmd_build(args):
+    import numpy as np
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+        synthetic_bipartite_graph)
+    g = synthetic_bipartite_graph(num_users=args.users, num_items=args.items,
+                                  edges_per_user=args.edges_per_user,
+                                  seed=args.seed, power=1.0,
+                                  hash_split="md5")
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(out, train_edges=g.train_edges,
+                        val_edges=g.val_edges, test_edges=g.test_edges,
+                        num_users=g.num_users, num_items=g.num_items)
+    print(f"graph: {g.summary()} -> {out}")
+
+
+def cmd_framework(args):
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+        BipartiteGraph)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
+        RecTrainer)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
+        RecConfig)
+
+    z = np.load(args.graph)
+    graph = BipartiteGraph(num_users=int(z["num_users"]),
+                           num_items=int(z["num_items"]),
+                           train_edges=z["train_edges"],
+                           val_edges=z["val_edges"],
+                           test_edges=z["test_edges"])
+    cfg = RecConfig(name=f"parity_{args.config}",
+                    epochs=args.epochs, eval_every=args.eval_every,
+                    seed=args.seed, **CONFIG_MAP[args.config])
+    t0 = time.time()
+    trainer = RecTrainer(cfg, graph, verbose=args.verbose)
+    fit = trainer.fit(epochs=args.epochs, seed=args.seed)
+    test = {K: {"precision": float(v["precision"]),
+                "recall": float(v["recall"]), "ndcg": float(v["ndcg"])}
+            for K, v in fit.test_metrics.items()}
+    res = {"config": args.config, "seed": args.seed,
+           "best_val": float(fit.best_val_recall), "test": test,
+           "seconds": time.time() - t0}
+    line = json.dumps(res)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+
+
+def _load_jsonl(path):
+    rows = []
+    if Path(path).exists():
+        for ln in Path(path).read_text().splitlines():
+            if ln.strip():
+                rows.append(json.loads(ln))
+    return rows
+
+
+def _agg(rows, config, key_k="20", metric="recall"):
+    vals = [r["test"][key_k][metric] if key_k in r["test"]
+            else r["test"][int(key_k)][metric]
+            for r in rows if r["config"] == config]
+    if not vals:
+        return None
+    mean = statistics.fmean(vals)
+    std = statistics.stdev(vals) if len(vals) > 1 else 0.0
+    return mean, std, len(vals)
+
+
+def cmd_report(args):
+    d = Path(args.dir)
+    oracle = _load_jsonl(d / "oracle.jsonl")
+    frame = _load_jsonl(d / "framework.jsonl")
+
+    lines = [
+        "# Quality parity: framework vs reference-oracle",
+        "",
+        "Shared synthetic graph + md5 splits "
+        f"(`{args.dir}/graph.npz`); identical protocol on both sides "
+        "(sampled 1+99 eval, best-on-val-Recall@20 selection, "
+        "reference hyperparameters).  Oracle = `scripts/parity_oracle.py`, "
+        "a fresh torch-CPU implementation of the reference training-loop "
+        "semantics (/root/reference/lightgcn.py:515-632, "
+        "version_1/lightgcn_cu_message.py:391-452, "
+        "version_1/lightgcn_cu_pop_method-e.py:336-359).  PASS = |mean "
+        "difference| within 2x the pooled cross-seed std (sampled 1+99 "
+        "evaluation is high-variance by design, SURVEY.md paragraph 6).",
+        "",
+        "| Config | Metric | Oracle (mean +/- std, n) | Framework (mean +/- std, n) | diff | tol(2x pooled std) | verdict |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    worst = []
+    for config in ("vanilla", "cu_message", "pop_neg"):
+        for metric in ("recall", "ndcg"):
+            o = _agg(oracle, config, metric=metric)
+            f = _agg(frame, config, metric=metric)
+            if o is None or f is None:
+                lines.append(f"| {config} | {metric}@20 | "
+                             f"{'missing' if o is None else ''} | "
+                             f"{'missing' if f is None else ''} | | | PENDING |")
+                continue
+            diff = f[0] - o[0]
+            pooled = (o[1] ** 2 + f[1] ** 2) ** 0.5
+            tol = max(2 * pooled, 0.01)
+            verdict = "PASS" if abs(diff) <= tol else "FAIL"
+            worst.append((config, metric, diff, tol, verdict))
+            lines.append(
+                f"| {config} | {metric}@20 | {o[0]:.4f} +/- {o[1]:.4f} "
+                f"(n={o[2]}) | {f[0]:.4f} +/- {f[1]:.4f} (n={f[2]}) | "
+                f"{diff:+.4f} | {tol:.4f} | {verdict} |")
+    lines += ["", "Raw run records: `runs/parity/oracle.jsonl`, "
+              "`runs/parity/framework.jsonl`."]
+    out = Path(args.report_out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--out", default="runs/parity/graph.npz")
+    b.add_argument("--users", type=int, default=8000)
+    b.add_argument("--items", type=int, default=24000)
+    b.add_argument("--edges-per-user", type=float, default=8.0)
+    b.add_argument("--seed", type=int, default=7)
+    b.set_defaults(fn=cmd_build)
+
+    f = sub.add_parser("framework")
+    f.add_argument("--graph", required=True)
+    f.add_argument("--config", required=True, choices=list(CONFIG_MAP))
+    f.add_argument("--seed", type=int, required=True)
+    f.add_argument("--epochs", type=int, default=200)
+    f.add_argument("--eval-every", type=int, default=2)
+    f.add_argument("--out", default=None)
+    f.add_argument("--verbose", action="store_true")
+    f.set_defaults(fn=cmd_framework)
+
+    r = sub.add_parser("report")
+    r.add_argument("--dir", default="runs/parity")
+    r.add_argument("--report-out", default="docs/PARITY.md")
+    r.set_defaults(fn=cmd_report)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

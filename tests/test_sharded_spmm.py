@@ -107,3 +107,62 @@ def test_sharded_model_propagate_matches_single(mesh, small_graph, rng):
                                    rtol=1e-4, atol=1e-5, err_msg=prop)
         np.testing.assert_allclose(np.asarray(i2), np.asarray(i1),
                                    rtol=1e-4, atol=1e-5, err_msg=prop)
+
+
+def test_allgather_mode_matches_dense(mesh, rng):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.sharded_spmm import (
+        ShardedSpmmOperator as Op)
+    em = _random_edge_map(rng, num_src=67, num_dst=93, E=700)
+    op = Op(em, mesh, mode="allgather")
+    x = jnp.asarray(rng.normal(size=(em.num_src, 16)).astype(np.float32))
+    expect = em.to_dense() @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(np.asarray(op(x)), expect, rtol=1e-4, atol=1e-4)
+    dx = jax.grad(lambda x: jnp.sum(op(x) ** 2))(x)
+    assert np.isfinite(np.asarray(dx)).all()
+
+
+def test_balanced_spans_padding_waste_on_zipf(mesh):
+    """VERDICT item 4: edge-count-balanced partitioning keeps per-device
+    edge padding waste under 20% on a zipf(1.0) power-law graph."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+        synthetic_bipartite_graph)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.operators import (
+        message_edge_maps)
+    g = synthetic_bipartite_graph(num_users=2000, num_items=6000,
+                                  edges_per_user=10.0, seed=3, power=1.0)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.sharded_spmm import (
+        ShardedSpmmOperator as Op)
+    ifu, ufi = message_edge_maps(g, np.ones(g.num_users, np.float32))
+    for em in (ifu, ufi):
+        op = Op(em, mesh)
+        assert op.pad_fraction < 0.20, (em.num_dst, op.pad_fraction)
+
+
+def test_span_layout_roundtrip_and_grad(mesh, rng):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.sharded_spmm import (
+        SpanLayout, balanced_spans)
+    N, D = 137, 8
+    weights = rng.integers(0, 50, N)
+    layout = SpanLayout(balanced_spans(weights, 8), mesh)
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    p = layout.to_padded(x)
+    assert p.shape == (layout.padded_rows, D)
+    np.testing.assert_allclose(np.asarray(layout.from_padded(p)),
+                               np.asarray(x), rtol=1e-6)
+    # VJPs are the dual gathers (no scatters): check against identity
+    g = jax.grad(lambda x: jnp.sum(layout.to_padded(x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(x), rtol=1e-5)
+    gp = jax.grad(lambda p: jnp.sum(layout.from_padded(p) ** 2))(p)
+    np.testing.assert_allclose(np.asarray(gp), 2 * np.asarray(p) *
+                               np.asarray(layout.mask), rtol=1e-5)
+
+
+def test_halo_volume_below_allgather(mesh, rng):
+    """The halo exchange ships fewer row-slots than replicating the table
+    when sources are reused sparsely across devices."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.sharded_spmm import (
+        ShardedSpmmOperator as Op)
+    em = _random_edge_map(rng, num_src=4000, num_dst=4000, E=8000)
+    halo = Op(em, mesh, mode="halo")
+    ag = Op(em, mesh, mode="allgather")
+    assert halo.collective_rows < ag.collective_rows

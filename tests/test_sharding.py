@@ -81,3 +81,40 @@ def test_distributed_initialize_noop_single_process():
     info = distributed.process_info()
     assert info["process_count"] == 1
     assert info["global_devices"] >= 8
+
+
+def test_trainer_fit_sharded_end_to_end(small_graph):
+    """VERDICT item 3: multi-epoch RecTrainer.fit on the 8-device mesh —
+    sampling, scan, popmix, fairness, and full-catalog eval all inside the
+    mesh path — tracks the single-device run."""
+    import numpy as np
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.mesh import (
+        make_mesh)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
+        RecTrainer)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
+        RecConfig)
+
+    cfg = RecConfig(name="mesh_e2e", propagation="gauss_seidel",
+                    weight_mode="cu_message", table_layout="split",
+                    negative_sampler="popmix", lambda_fair=0.1,
+                    emb_dim=16, num_layers=2, batch_size=64, epochs=6,
+                    eval_every=3, eval_mode="full", seed=3)
+    mesh = make_mesh(8, shape=(2, 4))
+    cred = np.random.default_rng(1).uniform(
+        0.3, 1.0, small_graph.num_users).astype(np.float32)
+
+    single = RecTrainer(cfg, small_graph, cred=cred, verbose=False)
+    fit_s = single.fit()
+    sharded = RecTrainer(cfg, small_graph, cred=cred, verbose=False,
+                         mesh=mesh)
+    fit_m = sharded.fit()
+
+    # same seeds, same sampling streams — curves agree up to collective
+    # reduction order; metrics agree within a small tolerance
+    losses_s = [e.loss for e in fit_s.history]
+    losses_m = [e.loss for e in fit_m.history]
+    np.testing.assert_allclose(losses_m, losses_s, rtol=2e-2)
+    for K in cfg.Ks:
+        assert abs(fit_m.test_metrics[K]["recall"]
+                   - fit_s.test_metrics[K]["recall"]) < 0.06, K
