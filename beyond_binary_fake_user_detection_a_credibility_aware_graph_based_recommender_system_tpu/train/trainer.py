@@ -319,6 +319,8 @@ class RecTrainer:
                     "epoch": epoch, "best_val": best_val,
                     "best_params": best_params})
 
+        if checkpointer is not None:
+            checkpointer.wait()
         test_res = self.evaluate(best_params, "test")
         self._log("\nTEST " + format_metrics_block("TEST", test_res)[5:])
         return FitResult(best_params=best_params, best_val_recall=best_val,

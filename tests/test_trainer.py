@@ -133,3 +133,28 @@ def test_empty_eval_split_raises():
     ue = jnp.zeros((4, 4)); ie = jnp.zeros((4, 4))
     with pytest.raises(RuntimeError, match="No users"):
         evaluate_sampled(jax.random.PRNGKey(0), ue, ie, ctx, "test")
+
+
+def test_checkpoint_retention_and_cadence(tmp_path):
+    """VERDICT item 6: keep-last-N + every-M cadence — a long run leaves at
+    most N checkpoint dirs; skipped epochs return False."""
+    import jax
+    import jax.numpy as jnp
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.checkpoint import (
+        TrainCheckpointer)
+
+    ck = TrainCheckpointer(tmp_path / "ck", keep=3, every=2)
+    saved = []
+    for epoch in range(1, 11):
+        state = {"params": {"w": jnp.ones((4, 2)) * epoch}, "epoch": epoch}
+        if ck.save(epoch, state):
+            saved.append(epoch)
+    ck.wait()
+    # orbax always saves the first step, then every `every`
+    assert saved == [1, 2, 4, 6, 8, 10]
+    dirs = [p for p in (tmp_path / "ck").iterdir() if p.is_dir()]
+    assert len(dirs) <= 3, sorted(p.name for p in dirs)
+    assert ck.latest_step() == 10
+    got = ck.restore(template={"params": {"w": jnp.zeros((4, 2))}, "epoch": 0})
+    assert int(got["epoch"]) == 10
+    ck.close()
