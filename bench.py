@@ -48,7 +48,8 @@ def build_graph(scale: str):
 
 
 def make_step(graph, backend: str, emb_dim: int, num_layers: int,
-              batch_size: int, seed: int = 0, precision: str = "fp32"):
+              batch_size: int, seed: int = 0, precision: str = "fp32",
+              propagation: str = "gauss_seidel"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -60,8 +61,10 @@ def make_step(graph, backend: str, emb_dim: int, num_layers: int,
     from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
         RecConfig)
 
-    cfg = RecConfig(name="bench", propagation="gauss_seidel",
-                    weight_mode="cu_message", table_layout="split",
+    wm = {"gauss_seidel": "cu_message", "symmetric": "symmetric"}[propagation]
+    cfg = RecConfig(name="bench", propagation=propagation, weight_mode=wm,
+                    table_layout="split" if propagation != "symmetric"
+                    else "joint",
                     emb_dim=emb_dim, num_layers=num_layers,
                     batch_size=batch_size, spmm_backend=backend,
                     spmm_precision=precision)
@@ -87,7 +90,8 @@ def make_step(graph, backend: str, emb_dim: int, num_layers: int,
         kp, kn = jax.random.split(ks)
         pos = sample_positives(kp, bundle["csr"], users)
         neg = sample_negatives_uniform(kn, bundle["csr"], users,
-                                       graph.num_items, rounds=4)
+                                       graph.num_items,
+                                       rounds=cfg.neg_rounds)
 
         def loss_fn(params):
             ue, ie = model.propagate(params, bundle["model"])
@@ -134,6 +138,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
+    ap.add_argument("--propagation", default="gauss_seidel",
+                    choices=["gauss_seidel", "symmetric"])
     args = ap.parse_args()
 
     import jax
@@ -153,7 +159,8 @@ def main():
 
     step, params, opt_state, cfg = make_step(graph, backend, args.emb_dim,
                                              args.layers, args.batch,
-                                             precision=args.precision)
+                                             precision=args.precision,
+                                             propagation=args.propagation)
     dt, loss = time_step(step, params, opt_state, args.iters)
     log(f"[bench] {backend}/{args.precision}: {dt*1e3:.3f} ms/step loss={loss:.4f}")
     value = edges_per_step / dt
@@ -176,7 +183,8 @@ def main():
     if backend != args.baseline_backend:
         bstep, bparams, bopt, _ = make_step(graph, args.baseline_backend,
                                             args.emb_dim, args.layers,
-                                            args.batch)
+                                            args.batch,
+                                            propagation=args.propagation)
         bdt, bloss = time_step(bstep, bparams, bopt, max(args.iters // 2, 5))
         log(f"[bench] {args.baseline_backend}: {bdt*1e3:.3f} ms/step "
             f"loss={bloss:.4f}")

@@ -178,7 +178,7 @@ def main():
 
     r = sub.add_parser("report")
     r.add_argument("--dir", default="runs/parity")
-    r.add_argument("--report-out", default="docs/PARITY.md")
+    r.add_argument("--report-out", default="docs/QUALITY_PARITY.md")
     r.set_defaults(fn=cmd_report)
 
     args = ap.parse_args()
