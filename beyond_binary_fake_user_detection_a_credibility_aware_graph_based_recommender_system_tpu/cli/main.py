@@ -80,8 +80,16 @@ def cmd_train_rec(args):
         cfg = cfg.replace(out_dir=args.out)
     graph = BipartiteGraph.load_npz(args.graph)
     print(f"Loaded edges. {graph.summary()}")
-    trainer = RecTrainer(cfg, graph)
-    ck = TrainCheckpointer(Path(args.out) / "ckpt") if (
+    mesh = None
+    if args.mesh:
+        import jax
+        from ..parallel.mesh import make_mesh
+        n = len(jax.devices()) if args.mesh == "all" else int(args.mesh)
+        mesh = make_mesh(n)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    trainer = RecTrainer(cfg, graph, mesh=mesh)
+    ck = TrainCheckpointer(Path(args.out) / "ckpt",
+                           keep=args.ckpt_keep, every=args.ckpt_every) if (
         args.out and args.checkpoint) else None
     result = trainer.fit(checkpointer=ck, resume=args.resume)
     if args.out:
@@ -152,6 +160,10 @@ def build_parser():
     p.add_argument("--out", default=None)
     p.add_argument("--checkpoint", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--mesh", default=None,
+                   help="'all' or device count: train sharded end-to-end")
+    p.add_argument("--ckpt-keep", type=int, default=3)
+    p.add_argument("--ckpt-every", type=int, default=1)
     _add_overrides(p)
     p.set_defaults(fn=cmd_train_rec)
 
