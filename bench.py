@@ -171,9 +171,11 @@ def main():
     # engine is row-rate-bound at ~5.5 ns/row (measured), usually the binder.
     n_spmm = args.layers * 2 * 2          # fwd+bwd, both directions
     D = args.emb_dim
-    bytes_per_spmm = E * D * 4 * 3 + (graph.num_users + graph.num_items) * D * 4
+    elt = 2 if args.precision == "bf16" else 4
+    bytes_per_spmm = E * D * elt * 3 + (graph.num_users + graph.num_items) * D * 4
     t_bw = n_spmm * bytes_per_spmm / 819e9
-    t_gather = n_spmm * E * 5.5e-9
+    # gather rate scales with row bytes (docs/KERNEL.md measurements)
+    t_gather = n_spmm * E * 5.5e-9 * elt / 4
     sol = max(t_bw, t_gather)
     log(f"[bench] roofline: bw-bound {t_bw*1e3:.1f} ms, gather-bound "
         f"{t_gather*1e3:.1f} ms -> step efficiency {sol/dt*100:.0f}% of "
