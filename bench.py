@@ -94,9 +94,14 @@ def make_step(graph, backend: str, emb_dim: int, num_layers: int,
                                        rounds=cfg.neg_rounds)
 
         def loss_fn(params):
-            ue, ie = model.propagate(params, bundle["model"])
-            pos_s = LightGCN.score(ue, ie, users, pos)
-            neg_s = LightGCN.score(ue, ie, users, neg)
+            # batch-row combine (trainer semantics): per-layer rows are
+            # gathered and averaged instead of materializing combined
+            # tables — bit-identical scores, no full-table accumulation
+            items = jnp.concatenate([pos, neg])
+            u_rows, i_rows = model.propagate_rows(params, users, items,
+                                                  bundle["model"])
+            pos_s = jnp.sum(u_rows * i_rows[:batch_size], axis=-1)
+            neg_s = jnp.sum(u_rows * i_rows[batch_size:], axis=-1)
             l = losses.bpr_loss(pos_s, neg_s)
             eu, ei = ego_tables(params, graph.num_users)
             return l + cfg.reg * losses.ego_l2(eu[users], ei[pos], ei[neg])

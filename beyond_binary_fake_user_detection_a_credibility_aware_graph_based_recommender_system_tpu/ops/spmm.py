@@ -110,6 +110,54 @@ def _spmm_bwd(res, g):
 spmm_apply.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+@jax.custom_vjp
+def spmm_apply_padded(fwd_state: SpmmState, bwd_state: SpmmState,
+                      x_pad: jax.Array) -> jax.Array:
+    """Padded-chain form (pallas backend): ``x_pad`` lives in the source
+    side's block-padded space and the result in the destination side's —
+    no per-apply truncation copy.  The VJP applies the transpose plan in
+    padded space (pad-row cotangents are never sourced: the bwd plan's ids
+    are < num_dst, and pad rows of the fwd output are identically zero)."""
+    from .spmm_pallas import apply_pallas_padded
+    return apply_pallas_padded(fwd_state.plan, x_pad)
+
+
+def _spmm_padded_fwd(fwd_state, bwd_state, x_pad):
+    return spmm_apply_padded(fwd_state, bwd_state, x_pad), (fwd_state,
+                                                            bwd_state)
+
+
+def _spmm_padded_bwd(res, g):
+    from .spmm_pallas import apply_pallas_padded
+    fwd_state, bwd_state = res
+    dx = apply_pallas_padded(bwd_state.plan, g)
+    return (_zeros_ct(fwd_state), _zeros_ct(bwd_state), dx)
+
+
+spmm_apply_padded.defvjp(_spmm_padded_fwd, _spmm_padded_bwd)
+
+
+@dataclass(frozen=True)
+class PadLayout:
+    """Tail-padding layout of one node space to the kernel's block grid.
+
+    The single-chip analogue of parallel/sharded_spmm.SpanLayout — models
+    key on ``equals``/``to_padded``/``from_padded`` to keep a whole K-layer
+    chain in padded space (models/lightgcn.py:_padded_chain)."""
+    rows: int
+    padded_rows: int
+
+    def equals(self, other) -> bool:
+        return (isinstance(other, PadLayout) and self.rows == other.rows
+                and self.padded_rows == other.padded_rows)
+
+    def to_padded(self, x: jax.Array) -> jax.Array:
+        return jnp.pad(x, ((0, self.padded_rows - self.rows), (0, 0)))
+
+    def from_padded(self, p: jax.Array) -> jax.Array:
+        return p[:self.rows]
+
+
 def _sort_edges(edge_map: EdgeMap) -> _SortedEdges:
     order = np.argsort(edge_map.dst, kind="stable")
     return _SortedEdges(
@@ -168,23 +216,40 @@ class SpmmOperator:
                 np.asarray(self._fwd.src), np.asarray(self._fwd.dst),
                 np.asarray(self._fwd.w), self.num_dst, num_src=self.num_src,
                 block_rows=block_rows, chunk_edges=chunk_edges,
-                interpret=interpret, msg_dtype=msg_dtype)
+                interpret=interpret, msg_dtype=msg_dtype, window="auto")
             bwd_plan = build_pallas_segment_plan(
                 np.asarray(self._bwd.src), np.asarray(self._bwd.dst),
                 np.asarray(self._bwd.w), self.num_src, num_src=self.num_dst,
                 block_rows=block_rows, chunk_edges=chunk_edges,
-                interpret=interpret, msg_dtype=msg_dtype)
+                interpret=interpret, msg_dtype=msg_dtype, window="auto")
             self.fwd_state = SpmmState("pallas", None, fwd_plan)
             self.bwd_state = SpmmState("pallas", None, bwd_plan)
+            # padded-chain layouts (tail padding to the block grid); the
+            # model keeps a whole K-layer chain in this space when the
+            # operators' layouts line up (models/lightgcn.py:_padded_chain)
+            self.src_layout = PadLayout(self.num_src,
+                                        bwd_plan.num_blocks * block_rows)
+            self.dst_layout = PadLayout(self.num_dst,
+                                        fwd_plan.num_blocks * block_rows)
         else:
             self.fwd_state = SpmmState("xla", self._fwd, None)
             self.bwd_state = SpmmState("xla", self._bwd, None)
+            self.src_layout = self.dst_layout = None
+
+    @property
+    def padded_chain(self) -> bool:
+        """True when this operator supports the padded-chain protocol
+        (state-threaded: call :func:`spmm_apply_padded` on ``state``)."""
+        return self.backend == "pallas"
 
     @property
     def state(self):
         """(fwd, bwd) state pair — pass through jit as an argument and call
         :func:`spmm_apply` on it (closure capture bloats the HLO)."""
         return (self.fwd_state, self.bwd_state)
+
+    def apply_padded(self, x_pad: jax.Array) -> jax.Array:
+        return spmm_apply_padded(self.fwd_state, self.bwd_state, x_pad)
 
     def apply(self, x: jax.Array) -> jax.Array:
         return spmm_apply(self.fwd_state, self.bwd_state, x)

@@ -17,7 +17,7 @@ per-destination reduction as a sequence of small dense matmuls:
   2. Device: raw source rows ``msg[e] = x[src[e]]`` come from an XLA
      gather (in-kernel gather alternatives measured worse on this stack:
      tpu.dynamic_gather crashes the Mosaic remote compiler, and a scalar
-     row-copy loop runs at ~184 ns/row vs XLA's ~4-7 ns/row).  The kernel
+     row-copy loop runs at ~184 ns/row vs XLA's ~3-7 ns/row).  The kernel
      walks edge chunks on a 1-D sequential grid; for each chunk it builds a
      WEIGHTED one-hot ``(R, T)`` matrix (w folded into the scatter matrix —
      a separate ``w * msg`` pass cost 7.6 ms/step in HBM traffic) from the
@@ -30,14 +30,31 @@ per-destination reduction as a sequence of small dense matmuls:
      map, so consecutive chunks of one block revisit the same VMEM buffer
      with no HBM round-trip.
 
-Cost per edge is R*D*2 one-hot MACs — at R=256, D<=128 this is far below
-the MXU roofline, leaving the kernel HBM-bandwidth-bound as SpMM should be.
+Two round-2 refinements (both measured on a real v5e, docs/KERNEL.md):
+
+  * **Window plans** (``window=W``): because edges are dst-sorted, the rows
+    one chunk touches form a contiguous span.  When the destination's mean
+    degree is high (e.g. the users<-items direction: 6 edges/row), a
+    T-edge chunk spans only ~T/deg rows, so the one-hot shrinks from
+    (R, T) to (W, T), W<<R, and accumulates at a dynamic 8-aligned offset
+    inside the block — cutting MXU+VPU work by R/W at near-zero extra
+    padding.  On low-degree destinations (items<-users: 1.4 edges/row) the
+    window constraint forces chunk splits whose padding costs more gather
+    traffic than the FLOPs saved, so planning auto-rejects the window when
+    its padded edge count exceeds the plain plan's (the kernel is
+    gather-traffic bound, not MXU bound).
+  * **Padded chain** (:func:`apply_pallas_padded`): the kernel's natural
+    output is the (num_blocks*R, D) block space.  K-layer propagation can
+    stay in that padded space end to end — gathers index the padded table
+    directly (source ids are unchanged; padding lives at the tail) — and
+    truncate ONCE at the end instead of paying a slice copy per layer.
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -52,14 +69,16 @@ class PallasSegmentPlan:
     """Device-resident plan for one sparse operator direction."""
     src_padded: jax.Array      # (E_pad,) int32 source ids (pad -> 0)
     w_padded: jax.Array        # (1, E_pad) float32 weights (pad -> 0)
-    local_ids: jax.Array       # (1, E_pad) int32 row id within block (pad -> R)
+    local_ids: jax.Array       # (1, E_pad) int32 row id within block/window
     block_id: jax.Array        # (G,) int32 output block per chunk
     first_chunk: jax.Array     # (G,) int32 1 if first chunk of its block
+    win_start: Optional[jax.Array]  # (G,) int32 8-aligned window offset, or None
     num_dst: int
     num_src: int
     num_blocks: int
     block_rows: int
     chunk_edges: int
+    window: int                # 0 = full-block kernel; else W (window rows)
     interpret: bool
     msg_dtype: str = "float32"
 
@@ -67,39 +86,30 @@ class PallasSegmentPlan:
 jax.tree_util.register_dataclass(
     PallasSegmentPlan,
     data_fields=["src_padded", "w_padded", "local_ids", "block_id",
-                 "first_chunk"],
+                 "first_chunk", "win_start"],
     meta_fields=["num_dst", "num_src", "num_blocks", "block_rows",
-                 "chunk_edges", "interpret", "msg_dtype"])
+                 "chunk_edges", "window", "interpret", "msg_dtype"])
 
 
-def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
-                              num_dst: int, block_rows: int = DEFAULT_BLOCK_ROWS,
-                              chunk_edges: int = DEFAULT_CHUNK_EDGES,
-                              num_src: int | None = None,
-                              interpret: bool = False,
-                              msg_dtype: str = "float32") -> PallasSegmentPlan:
-    """Host-side planning. ``src``/``dst``/``w`` must already be dst-sorted."""
-    R, T = int(block_rows), int(chunk_edges)
-    E = int(src.shape[0])
-    num_src = int(num_src if num_src is not None else (src.max() + 1 if E else 1))
-
+def _empty_plan(num_dst, num_src, R, T, interpret, msg_dtype):
+    """Degenerate zero-edge plan: every block still gets its zeroing chunk."""
     num_blocks = max(-(-num_dst // R), 1)
-    if E == 0:
-        # degenerate: every block still needs its zeroing chunk
-        G0 = num_blocks
-        return PallasSegmentPlan(
-            src_padded=jnp.zeros((G0 * T,), jnp.int32),
-            w_padded=jnp.zeros((1, G0 * T), jnp.float32),
-            local_ids=jnp.full((1, G0 * T), R, jnp.int32),
-            block_id=jnp.arange(G0, dtype=jnp.int32),
-            first_chunk=jnp.ones((G0,), jnp.int32),
-            num_dst=num_dst, num_src=num_src, num_blocks=num_blocks,
-            block_rows=R, chunk_edges=T, interpret=interpret,
-            msg_dtype=msg_dtype)
+    G0 = num_blocks
+    return PallasSegmentPlan(
+        src_padded=jnp.zeros((G0 * T,), jnp.int32),
+        w_padded=jnp.zeros((1, G0 * T), jnp.float32),
+        local_ids=jnp.full((1, G0 * T), R, jnp.int32),
+        block_id=jnp.arange(G0, dtype=jnp.int32),
+        first_chunk=jnp.ones((G0,), jnp.int32),
+        win_start=None,
+        num_dst=num_dst, num_src=num_src, num_blocks=num_blocks,
+        block_rows=R, chunk_edges=T, window=0, interpret=interpret,
+        msg_dtype=msg_dtype)
 
-    dst = np.asarray(dst, np.int64)
-    assert np.all(np.diff(dst) >= 0), "edges must be sorted by dst"
 
+def _build_plain(src, dst, w, num_dst, num_blocks, R, T):
+    """Vectorized plain plan: per-block edge runs padded to multiples of T."""
+    E = src.shape[0]
     blk_of_edge = dst // R
     edges_per_block = np.bincount(blk_of_edge, minlength=num_blocks)
     chunks_per_block = np.maximum(-(-edges_per_block // T), 1)
@@ -128,15 +138,109 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     chunk_start = np.zeros(num_blocks, np.int64)
     np.cumsum(chunks_per_block[:-1], out=chunk_start[1:])
     first_chunk[chunk_start] = 1
+    return src_padded, w_padded, lid_flat, block_id, first_chunk, None
 
+
+def _build_window(src, dst, w, num_dst, num_blocks, R, T, W):
+    """Greedy window chunking: each chunk holds <=T edges whose local row
+    ids fit an 8-aligned W-row window (window start clamped to R-W)."""
+    blk_of_edge = dst // R
+    lid_all = (dst - blk_of_edge * R).astype(np.int64)
+    counts = np.bincount(blk_of_edge, minlength=num_blocks)
+    edge_start = np.zeros(num_blocks + 1, np.int64)
+    np.cumsum(counts, out=edge_start[1:])
+
+    chunks = []  # (block, estart, eend, win_start)
+    for b in range(num_blocks):
+        s, e = int(edge_start[b]), int(edge_start[b + 1])
+        if s == e:
+            chunks.append((b, s, s, 0))
+            continue
+        i = s
+        while i < e:
+            ws = min((int(lid_all[i]) // 8) * 8, R - W)
+            j = int(np.searchsorted(lid_all[s:e], ws + W, side="left")) + s
+            j = min(j, i + T, e)
+            chunks.append((b, i, j, ws))
+            i = j
+
+    G = len(chunks)
+    E_pad = G * T
+    src_p = np.zeros(E_pad, np.int32)
+    w_p = np.zeros(E_pad, np.float32)
+    lid_p = np.full(E_pad, W, np.int32)
+    block_id = np.zeros(G, np.int32)
+    wstart = np.zeros(G, np.int32)
+    first = np.zeros(G, np.int32)
+    prev_b = -1
+    for g, (b, i, j, ws) in enumerate(chunks):
+        n = j - i
+        src_p[g * T:g * T + n] = src[i:j]
+        w_p[g * T:g * T + n] = w[i:j]
+        lid_p[g * T:g * T + n] = lid_all[i:j] - ws
+        block_id[g] = b
+        wstart[g] = ws
+        if b != prev_b:
+            first[g] = 1
+            prev_b = b
+    return src_p, w_p, lid_p, block_id, first, wstart
+
+
+def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                              num_dst: int, block_rows: int = DEFAULT_BLOCK_ROWS,
+                              chunk_edges: int = DEFAULT_CHUNK_EDGES,
+                              num_src: int | None = None,
+                              interpret: bool = False,
+                              msg_dtype: str = "float32",
+                              window: int | str = "auto") -> PallasSegmentPlan:
+    """Host-side planning. ``src``/``dst``/``w`` must already be dst-sorted.
+
+    ``window``: 0 disables the window kernel; an int W forces it; "auto"
+    picks W from the mean destination degree and keeps it only if its
+    padded edge count does not exceed the plain plan's (the kernel is
+    gather-traffic bound; extra padding costs more than narrow one-hots
+    save).
+    """
+    R, T = int(block_rows), int(chunk_edges)
+    E = int(src.shape[0])
+    num_src = int(num_src if num_src is not None else (src.max() + 1 if E else 1))
+    num_blocks = max(-(-num_dst // R), 1)
+    if E == 0:
+        return _empty_plan(num_dst, num_src, R, T, interpret, msg_dtype)
+
+    src = np.asarray(src, np.int32)
+    dst = np.asarray(dst, np.int64)
+    w = np.asarray(w, np.float32)
+    assert np.all(np.diff(dst) >= 0), "edges must be sorted by dst"
+
+    plain = _build_plain(src, dst, w, num_dst, num_blocks, R, T)
+    chosen, win = plain, 0
+
+    if window != 0:
+        if window == "auto":
+            # W must cover a chunk's typical row span (T / mean dst degree)
+            # plus alignment slack; reject when no power-of-two < R fits.
+            mean_deg = E / max(num_dst, 1)
+            need = T / max(mean_deg, 1e-9) + 16
+            W = next((c for c in (64, 128, 256) if c >= need and c < R), 0)
+        else:
+            W = int(window)
+        if W:
+            cand = _build_window(src, dst, w, num_dst, num_blocks, R, T, W)
+            if window != "auto" or cand[0].shape[0] <= 1.02 * plain[0].shape[0]:
+                chosen, win = cand, W
+
+    src_p, w_p, lid_p, block_id, first, wstart = chosen
+    E_pad = src_p.shape[0]
     return PallasSegmentPlan(
-        src_padded=jnp.asarray(src_padded),
-        w_padded=jnp.asarray(w_padded.reshape(1, E_pad)),
-        local_ids=jnp.asarray(lid_flat.reshape(1, G * T)),
+        src_padded=jnp.asarray(src_p),
+        w_padded=jnp.asarray(w_p.reshape(1, E_pad)),
+        local_ids=jnp.asarray(lid_p.reshape(1, E_pad)),
         block_id=jnp.asarray(block_id),
-        first_chunk=jnp.asarray(first_chunk),
+        first_chunk=jnp.asarray(first),
+        win_start=None if wstart is None else jnp.asarray(wstart),
         num_dst=num_dst, num_src=num_src, num_blocks=int(num_blocks),
-        block_rows=R, chunk_edges=T, interpret=interpret,
+        block_rows=R, chunk_edges=T, window=win, interpret=interpret,
         msg_dtype=msg_dtype)
 
 
@@ -161,12 +265,31 @@ def _segment_kernel(block_ref, first_ref, lid_ref, w_ref, msg_ref, out_ref, *,
                           preferred_element_type=jnp.float32)
 
 
-def apply_pallas(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
-    """y[d] = sum_{e: dst[e]=d} w[e] * x[src[e]] via the chunked kernel."""
+def _window_kernel(block_ref, first_ref, wstart_ref, lid_ref, w_ref, msg_ref,
+                   out_ref, *, R: int, T: int, W: int):
+    from jax.experimental import pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(first_ref[step] == 1)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lid = lid_ref[:]                                           # (1, T)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+    onehot = jnp.where(rows == lid, w_ref[:], 0.0)             # (W, T)
+    upd = jnp.dot(onehot.astype(msg_ref.dtype), msg_ref[:],
+                  preferred_element_type=jnp.float32)
+    ws = pl.multiple_of(wstart_ref[step], 8)
+    out_ref[pl.ds(ws, W), :] = out_ref[pl.ds(ws, W), :] + upd
+
+
+def _apply_padded_blocks(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
+    """Run the kernel; returns the raw (num_blocks*R, D) fp32 block space."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    R, T = plan.block_rows, plan.chunk_edges
+    R, T, W = plan.block_rows, plan.chunk_edges, plan.window
     D = x.shape[-1]
     G = plan.local_ids.shape[1] // T
 
@@ -177,24 +300,45 @@ def apply_pallas(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
     msg_dtype = jnp.dtype(plan.msg_dtype)
     msg = x.astype(msg_dtype)[plan.src_padded]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, T), lambda g, blk, first: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda g, blk, first: (0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, D), lambda g, blk, first: (g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, D), lambda g, blk, first: (blk[g], 0),
-                               memory_space=pltpu.VMEM),
-    )
+    if W:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, T), lambda g, blk, first, ws: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T), lambda g, blk, first, ws: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, D), lambda g, blk, first, ws: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, D),
+                                   lambda g, blk, first, ws: (blk[g], 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        kernel = functools.partial(_window_kernel, R=R, T=T, W=W)
+        scalars = (plan.block_id, plan.first_chunk, plan.win_start)
+        flops = 2 * G * W * T * D
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, T), lambda g, blk, first: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T), lambda g, blk, first: (0, g),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, D), lambda g, blk, first: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, D), lambda g, blk, first: (blk[g], 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        kernel = functools.partial(_segment_kernel, R=R, T=T)
+        scalars = (plan.block_id, plan.first_chunk)
+        flops = 2 * G * R * T * D
 
-    kernel = functools.partial(_segment_kernel, R=R, T=T)
-    flops = 2 * G * R * T * D
-    y_comp = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.num_blocks * R, D), jnp.float32),
@@ -206,6 +350,20 @@ def apply_pallas(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
             + plan.num_blocks * R * D * 4,
             transcendentals=0),
         interpret=plan.interpret,
-    )(plan.block_id, plan.first_chunk, plan.local_ids, plan.w_padded, msg)
+    )(*scalars, plan.local_ids, plan.w_padded, msg)
 
+
+def apply_pallas(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
+    """y[d] = sum_{e: dst[e]=d} w[e] * x[src[e]] via the chunked kernel."""
+    y_comp = _apply_padded_blocks(plan, x)
     return y_comp[:plan.num_dst].astype(x.dtype)
+
+
+def apply_pallas_padded(plan: PallasSegmentPlan, x_pad: jax.Array) -> jax.Array:
+    """Padded-chain form: ``x_pad`` is a source table padded to the block
+    grid (rows >= num_src; source ids are unchanged because padding lives at
+    the tail); the result stays in the (num_blocks*R, D) block space with
+    zero pad rows, cast back to ``x_pad.dtype``.  Skips the per-apply
+    truncation copy of :func:`apply_pallas` — truncate once per chain with
+    ``y[:num_dst]``."""
+    return _apply_padded_blocks(plan, x_pad).astype(x_pad.dtype)

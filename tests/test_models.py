@@ -163,3 +163,73 @@ def test_masked_bce():
     expect = float(np.mean([-np.log(0.9), -np.log(0.9)]))
     assert abs(got - expect) < 1e-5
     assert float(losses.masked_bce(pred, lab, jnp.zeros(3, bool))) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Round-2: padded-chain propagation + batch-row combine
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("propagation,weight_mode,layout", [
+    ("symmetric", "symmetric", "joint"),
+    ("bipartite_sync", "cred_eq322", "split"),
+    ("gauss_seidel", "cu_message", "split"),
+])
+def test_pallas_padded_chain_propagate_matches_xla(small_graph, cred,
+                                                   propagation, weight_mode,
+                                                   layout):
+    """The single-chip pallas padded chain (no per-layer truncation) must
+    reproduce the xla-backend propagate for every variant."""
+    cfg = RecConfig(propagation=propagation, weight_mode=weight_mode,
+                    table_layout=layout, num_layers=2, emb_dim=16)
+    params = init_params(jax.random.PRNGKey(0), cfg, small_graph.num_users,
+                         small_graph.num_items)
+    m_x = LightGCN(cfg, small_graph, cred, backend="xla")
+    m_p = LightGCN(cfg, small_graph, cred, backend="pallas")
+    assert m_p._padded_chain() is not None  # chain path engaged
+
+    ux, ix = m_x.propagate(params)
+    up, ip = m_p.propagate(params)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ux),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ip), np.asarray(ix),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("propagation,weight_mode,layout,backend", [
+    ("symmetric", "symmetric", "joint", "xla"),
+    ("bipartite_sync", "cred_eq322", "split", "xla"),
+    ("gauss_seidel", "cu_message", "split", "xla"),
+    ("gauss_seidel", "cu_message", "split", "pallas"),
+])
+def test_propagate_rows_matches_table_gather(small_graph, cred, propagation,
+                                             weight_mode, layout, backend):
+    """Row-gather commutes with the layer mean: propagate_rows(users, items)
+    must equal propagate()-then-gather bit-for-bit (same fp op order), and
+    its gradients must match too."""
+    cfg = RecConfig(propagation=propagation, weight_mode=weight_mode,
+                    table_layout=layout, num_layers=2, emb_dim=16)
+    params = init_params(jax.random.PRNGKey(0), cfg, small_graph.num_users,
+                         small_graph.num_items)
+    model = LightGCN(cfg, small_graph, cred, backend=backend)
+    rng = np.random.default_rng(3)
+    users = jnp.asarray(rng.integers(0, small_graph.num_users, 17), jnp.int32)
+    items = jnp.asarray(rng.integers(0, small_graph.num_items, 17), jnp.int32)
+
+    ue, ie = model.propagate(params)
+    ur, ir = model.propagate_rows(params, users, items)
+    np.testing.assert_array_equal(np.asarray(ur), np.asarray(ue[users]))
+    np.testing.assert_array_equal(np.asarray(ir), np.asarray(ie[items]))
+
+    def loss_tables(p):
+        ue, ie = model.propagate(p)
+        return jnp.sum(ue[users] * ie[items])
+
+    def loss_rows(p):
+        ur, ir = model.propagate_rows(p, users, items)
+        return jnp.sum(ur * ir)
+
+    g1 = jax.grad(loss_tables)(params)
+    g2 = jax.grad(loss_rows)(params)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   rtol=1e-4, atol=1e-5)

@@ -178,3 +178,82 @@ def test_pallas_bf16_mode_close_to_fp32(rng):
         num_src=em.num_src, block_rows=8, chunk_edges=16, interpret=True)
     y32 = sp.apply_pallas(plan32, x)
     np.testing.assert_allclose(np.asarray(y32), expect, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 kernel refinements: window plans + padded chain
+# ---------------------------------------------------------------------------
+
+def test_pallas_window_plan_matches_dense(rng):
+    """Forced window kernel (W < R, dynamic 8-aligned offset) vs dense."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops import spmm_pallas as sp
+
+    # high mean degree so windows are narrow relative to blocks
+    em = _random_edge_map(rng, num_src=200, num_dst=40, E=2000)
+    order = np.argsort(em.dst, kind="stable")
+    plan = sp.build_pallas_segment_plan(
+        em.src[order], em.dst[order], em.w[order], em.num_dst,
+        num_src=em.num_src, block_rows=32, chunk_edges=16, interpret=True,
+        window=8)
+    assert plan.window == 8 and plan.win_start is not None
+    x = jnp.asarray(rng.normal(size=(em.num_src, 4)).astype(np.float32))
+    y = sp.apply_pallas(plan, x)
+    expect = em.to_dense() @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_window_auto_selection(rng):
+    """'auto' keeps the window only when it does not inflate padding:
+    high-degree destinations accept it, low-degree ones reject it."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops import spmm_pallas as sp
+
+    # ~13 edges per dst row: chunk spans ~ T/13 rows -> window wins
+    em = _random_edge_map(rng, num_src=500, num_dst=150, E=2000)
+    order = np.argsort(em.dst, kind="stable")
+    dense_plan = sp.build_pallas_segment_plan(
+        em.src[order], em.dst[order], em.w[order], em.num_dst,
+        num_src=em.num_src, interpret=True, window="auto")
+    assert dense_plan.window > 0
+
+    # ~0.25 edges per dst row: window splits would explode padding -> off
+    em2 = _random_edge_map(rng, num_src=50, num_dst=8000, E=2000)
+    order2 = np.argsort(em2.dst, kind="stable")
+    sparse_plan = sp.build_pallas_segment_plan(
+        em2.src[order2], em2.dst[order2], em2.w[order2], em2.num_dst,
+        num_src=em2.num_src, interpret=True, window="auto")
+    assert sparse_plan.window == 0
+
+
+def test_spmm_padded_chain_matches_plain(rng):
+    """apply_padded on a tail-padded table == apply, after truncation; the
+    VJP routes through the padded transpose plan."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops.spmm import (
+        spmm_apply_padded)
+
+    em = _random_edge_map(rng, num_src=37, num_dst=29, E=300)
+    op = SpmmOperator(em, backend="pallas", block_rows=8, chunk_edges=16)
+    assert op.padded_chain
+    assert op.src_layout.padded_rows % 8 == 0
+    assert op.dst_layout.padded_rows >= em.num_dst
+
+    x = jnp.asarray(rng.normal(size=(em.num_src, 4)).astype(np.float32))
+    x_pad = op.src_layout.to_padded(x)
+    y_pad = op.apply_padded(x_pad)
+    assert y_pad.shape[0] == op.dst_layout.padded_rows
+    np.testing.assert_allclose(np.asarray(op.dst_layout.from_padded(y_pad)),
+                               np.asarray(op(x)), rtol=1e-5, atol=1e-5)
+    # pad rows are identically zero
+    np.testing.assert_allclose(np.asarray(y_pad[em.num_dst:]), 0.0)
+
+    # gradient: d/dx sum(A_pad x_pad * c) == A^T c on the real rows
+    cot = rng.normal(size=(op.dst_layout.padded_rows, 4)).astype(np.float32)
+    cot[em.num_dst:] = 0.0
+    cot = jnp.asarray(cot)
+
+    def f(x):
+        return jnp.sum(spmm_apply_padded(op.fwd_state, op.bwd_state,
+                                         op.src_layout.to_padded(x)) * cot)
+
+    dx = jax.grad(f)(x)
+    expect = em.to_dense().T @ np.asarray(cot[:em.num_dst], np.float64)
+    np.testing.assert_allclose(np.asarray(dx), expect, rtol=1e-4, atol=1e-4)
