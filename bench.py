@@ -47,6 +47,57 @@ def build_graph(scale: str):
     raise ValueError(scale)
 
 
+def make_epoch(graph, backend: str, emb_dim: int, num_layers: int,
+               batch_size: int, seed: int = 0, precision: str = "fp32",
+               propagation: str = "gauss_seidel"):
+    """Time the REAL trainer epoch: RecTrainer's compiled ``lax.scan`` over
+    all batches (epoch-hoisted sampling + per-batch propagation + BPR
+    backward + Adam), exactly what ``fit()`` runs.  Returns
+    (run_epoch, state, n_batches)."""
+    import jax
+    import numpy as np
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
+        RecTrainer)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
+        RecConfig)
+
+    wm = {"gauss_seidel": "cu_message", "symmetric": "symmetric"}[propagation]
+    cfg = RecConfig(name="bench", propagation=propagation, weight_mode=wm,
+                    table_layout="split" if propagation != "symmetric"
+                    else "joint",
+                    emb_dim=emb_dim, num_layers=num_layers,
+                    batch_size=batch_size, spmm_backend=backend,
+                    spmm_precision=precision)
+    cred = np.random.default_rng(seed).uniform(0.2, 1.0,
+                                               graph.num_users).astype(np.float32)
+    tr = RecTrainer(cfg, graph, cred=cred, verbose=False)
+    params, opt_state, key = tr.init_state(seed)
+    epoch_fn = tr._build_epoch_fn()
+    nb = -(-tr.train_users.size // batch_size)
+    bundle = tr.train_state_bundle()
+
+    def run_epoch(state):
+        params, opt_state, key = state
+        params, opt_state, key, loss = epoch_fn(
+            params, opt_state, key, tr.train_users_dev, bundle)
+        return (params, opt_state, key), loss
+
+    return run_epoch, (params, opt_state, key), nb
+
+
+def time_epoch(run_epoch, state, iters: int, warmup: int = 2):
+    import jax
+    for _ in range(warmup):
+        state, loss = run_epoch(state)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = run_epoch(state)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, float(loss)
+
+
 def make_step(graph, backend: str, emb_dim: int, num_layers: int,
               batch_size: int, seed: int = 0, precision: str = "fp32",
               propagation: str = "gauss_seidel"):
@@ -145,6 +196,10 @@ def main():
     ap.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     ap.add_argument("--propagation", default="gauss_seidel",
                     choices=["gauss_seidel", "symmetric"])
+    ap.add_argument("--mode", default="epoch", choices=["epoch", "step"],
+                    help="epoch: time the real RecTrainer scanned epoch "
+                    "(amortized per-step; the headline). step: one isolated "
+                    "jitted train step (per-batch sampling included).")
     args = ap.parse_args()
 
     import jax
@@ -162,12 +217,24 @@ def main():
     # edge traversals per step: K layers x 2 directions x (fwd + bwd)
     edges_per_step = E * args.layers * 2 * 2
 
-    step, params, opt_state, cfg = make_step(graph, backend, args.emb_dim,
-                                             args.layers, args.batch,
-                                             precision=args.precision,
-                                             propagation=args.propagation)
-    dt, loss = time_step(step, params, opt_state, args.iters)
-    log(f"[bench] {backend}/{args.precision}: {dt*1e3:.3f} ms/step loss={loss:.4f}")
+    if args.mode == "epoch":
+        run_epoch, state, nb = make_epoch(graph, backend, args.emb_dim,
+                                          args.layers, args.batch,
+                                          precision=args.precision,
+                                          propagation=args.propagation)
+        iters = max(1, args.iters // 4)
+        edt, loss = time_epoch(run_epoch, state, iters)
+        dt = edt / nb
+        log(f"[bench] {backend}/{args.precision}: {edt*1e3:.1f} ms/epoch "
+            f"({nb} batches, {dt*1e3:.3f} ms/step) loss={loss:.4f}")
+    else:
+        step, params, opt_state, cfg = make_step(graph, backend, args.emb_dim,
+                                                 args.layers, args.batch,
+                                                 precision=args.precision,
+                                                 propagation=args.propagation)
+        dt, loss = time_step(step, params, opt_state, args.iters)
+        log(f"[bench] {backend}/{args.precision}: {dt*1e3:.3f} ms/step "
+            f"loss={loss:.4f}")
     value = edges_per_step / dt
 
     # speed-of-light estimate (BASELINE.json: edges/sec/chip vs roofline).
@@ -188,11 +255,19 @@ def main():
 
     vs_baseline = 1.0
     if backend != args.baseline_backend:
-        bstep, bparams, bopt, _ = make_step(graph, args.baseline_backend,
-                                            args.emb_dim, args.layers,
-                                            args.batch,
-                                            propagation=args.propagation)
-        bdt, bloss = time_step(bstep, bparams, bopt, max(args.iters // 2, 5))
+        if args.mode == "epoch":
+            brun, bstate, bnb = make_epoch(graph, args.baseline_backend,
+                                           args.emb_dim, args.layers,
+                                           args.batch,
+                                           propagation=args.propagation)
+            bedt, bloss = time_epoch(brun, bstate, max(args.iters // 8, 2))
+            bdt = bedt / bnb
+        else:
+            bstep, bparams, bopt, _ = make_step(
+                graph, args.baseline_backend, args.emb_dim, args.layers,
+                args.batch, propagation=args.propagation)
+            bdt, bloss = time_step(bstep, bparams, bopt,
+                                   max(args.iters // 2, 5))
         log(f"[bench] {args.baseline_backend}: {bdt*1e3:.3f} ms/step "
             f"loss={bloss:.4f}")
         vs_baseline = bdt / dt

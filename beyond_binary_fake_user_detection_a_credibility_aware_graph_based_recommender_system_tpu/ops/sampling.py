@@ -31,28 +31,45 @@ from ..graph.csr import CSR
 
 @dataclass(frozen=True)
 class DeviceCSR:
-    """Device-resident CSR with sorted rows (see graph/csr.py)."""
+    """Device-resident CSR with sorted rows (see graph/csr.py).
+
+    ``hashmem`` (default): a bucketized hash table
+    (ops/membership.HashMembership) giving EXACT membership in one wide
+    row-gather per candidate — the binary-search path needs ~12 dependent
+    element-gather rounds, the TPU's worst memory pattern.  Both paths
+    return identical booleans, so the sampler outputs are bit-equal;
+    ``membership="bsearch"`` keeps the table-free fallback.
+    """
     indptr: jax.Array          # (N+1,) int32
     indices: jax.Array         # (nnz,) int32, sorted within each row
+    hashmem: object            # Optional[HashMembership]
     num_rows: int
     num_cols: int
     search_iters: int          # static binary-search depth >= ceil(log2(max_deg))
 
     @classmethod
-    def from_host(cls, csr: CSR, num_cols: int) -> "DeviceCSR":
+    def from_host(cls, csr: CSR, num_cols: int,
+                  membership: str = "hash") -> "DeviceCSR":
         max_deg = int(csr.degrees().max()) if csr.nnz else 1
         iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
+        hashmem = None
+        if membership == "hash":
+            from .membership import HashMembership
+            deg = np.diff(csr.indptr)
+            rows = np.repeat(np.arange(csr.num_rows, dtype=np.int64), deg)
+            hashmem = HashMembership.build(rows, csr.indices)
         return cls(
             indptr=jnp.asarray(csr.indptr, dtype=jnp.int32),
             indices=jnp.asarray(csr.indices, dtype=jnp.int32)
             if csr.nnz else jnp.zeros((1,), jnp.int32),
+            hashmem=hashmem,
             num_rows=csr.num_rows,
             num_cols=num_cols,
             search_iters=iters,
         )
 
 jax.tree_util.register_dataclass(
-    DeviceCSR, data_fields=["indptr", "indices"],
+    DeviceCSR, data_fields=["indptr", "indices", "hashmem"],
     meta_fields=["num_rows", "num_cols", "search_iters"])
 
 
@@ -60,9 +77,13 @@ def row_contains(csr: DeviceCSR, rows: jax.Array, cands: jax.Array) -> jax.Array
     """Vectorized ``user_has_item`` (lightgcn.py:280-287).
 
     rows: (B,) int; cands: (B, ...) int -> bool of cands.shape.
-    Lower-bound binary search within each row's sorted slice.
+    One hash-slab gather per candidate when the CSR carries a hash table,
+    else a lower-bound binary search within each row's sorted slice.
     """
     shape = cands.shape
+    if csr.hashmem is not None:
+        cands2 = cands.reshape(shape[0], -1)
+        return csr.hashmem.contains(rows[:, None], cands2).reshape(shape)
     cands2 = cands.reshape(shape[0], -1)
     lo0 = csr.indptr[rows][:, None].astype(jnp.int32)
     hi0 = csr.indptr[rows + 1][:, None].astype(jnp.int32)

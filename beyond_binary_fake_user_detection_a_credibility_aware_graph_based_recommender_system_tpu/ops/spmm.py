@@ -194,10 +194,13 @@ class SpmmOperator:
 
     def __init__(self, edge_map: EdgeMap, backend: str = "xla",
                  block_rows: int = 512, chunk_edges: int = 256,
-                 precision: str = "fp32"):
+                 precision: str = "fp32", slices: int | str = "auto"):
         # precision: "fp32" (parity default) or "bf16" — bf16 messages halve
         # gather/message HBM bytes and run the MXU pass at bf16 rate with
         # fp32 accumulation (pallas backend only; xla ignores it).
+        # slices: dst-slice pipelining degree ("auto" = 4): independent
+        # gather->kernel pairs the compiler overlaps (2.2x measured on the
+        # 262K-dst direction; scripts/probe_spmm_slices.py).
         self.backend = resolve_backend(backend)
         self.precision = precision
         self.num_src = edge_map.num_src
@@ -209,28 +212,32 @@ class SpmmOperator:
                     num_src=edge_map.num_dst, num_dst=edge_map.num_src))
 
         if self.backend == "pallas":
-            from .spmm_pallas import build_pallas_segment_plan
+            from .spmm_pallas import build_sliced_segment_plans
             interpret = jax.devices()[0].platform != "tpu"
             msg_dtype = {"fp32": "float32", "bf16": "bfloat16"}[precision]
-            fwd_plan = build_pallas_segment_plan(
+            fwd_plan = build_sliced_segment_plans(
                 np.asarray(self._fwd.src), np.asarray(self._fwd.dst),
                 np.asarray(self._fwd.w), self.num_dst, num_src=self.num_src,
                 block_rows=block_rows, chunk_edges=chunk_edges,
-                interpret=interpret, msg_dtype=msg_dtype, window="auto")
-            bwd_plan = build_pallas_segment_plan(
+                interpret=interpret, msg_dtype=msg_dtype, window="auto",
+                slices=slices)
+            bwd_plan = build_sliced_segment_plans(
                 np.asarray(self._bwd.src), np.asarray(self._bwd.dst),
                 np.asarray(self._bwd.w), self.num_src, num_src=self.num_dst,
                 block_rows=block_rows, chunk_edges=chunk_edges,
-                interpret=interpret, msg_dtype=msg_dtype, window="auto")
+                interpret=interpret, msg_dtype=msg_dtype, window="auto",
+                slices=slices)
             self.fwd_state = SpmmState("pallas", None, fwd_plan)
             self.bwd_state = SpmmState("pallas", None, bwd_plan)
             # padded-chain layouts (tail padding to the block grid); the
             # model keeps a whole K-layer chain in this space when the
             # operators' layouts line up (models/lightgcn.py:_padded_chain)
-            self.src_layout = PadLayout(self.num_src,
-                                        bwd_plan.num_blocks * block_rows)
-            self.dst_layout = PadLayout(self.num_dst,
-                                        fwd_plan.num_blocks * block_rows)
+            self.src_layout = PadLayout(
+                self.num_src,
+                sum(p.num_blocks for p in bwd_plan) * block_rows)
+            self.dst_layout = PadLayout(
+                self.num_dst,
+                sum(p.num_blocks for p in fwd_plan) * block_rows)
         else:
             self.fwd_state = SpmmState("xla", self._fwd, None)
             self.bwd_state = SpmmState("xla", self._bwd, None)

@@ -244,6 +244,58 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
         msg_dtype=msg_dtype)
 
 
+def build_sliced_segment_plans(src: np.ndarray, dst: np.ndarray,
+                               w: np.ndarray, num_dst: int,
+                               block_rows: int = DEFAULT_BLOCK_ROWS,
+                               chunk_edges: int = DEFAULT_CHUNK_EDGES,
+                               num_src: int | None = None,
+                               interpret: bool = False,
+                               msg_dtype: str = "float32",
+                               window: int | str = "auto",
+                               slices: int | str = "auto"):
+    """Split one operator into S destination slices on BLOCK-ALIGNED dst
+    cuts and plan each independently.
+
+    Each slice is its own (XLA row gather -> pallas kernel) pair, so the
+    compiler overlaps slice s+1's HBM gather with slice s's MXU kernel —
+    measured 2.2x on the 262K-dst direction at reference scale (the
+    unsliced op is a serial gather(1.3ms) -> kernel chain;
+    scripts/probe_spmm_slices.py).  Because cuts are block-aligned, the
+    concatenation of the slices' block spaces IS the unsliced plan's block
+    space: layouts, padded-chain protocol, and per-row fp32 accumulation
+    order are all bit-identical.
+
+    Returns a tuple of PallasSegmentPlan (length 1 when slicing is moot).
+    """
+    R = int(block_rows)
+    E = int(src.shape[0])
+    blocks = max(-(-num_dst // R), 1)
+    S = min(4, blocks) if slices == "auto" else int(slices)
+    S = max(min(S, blocks), 1)
+    if S == 1 or E == 0:
+        return (build_pallas_segment_plan(
+            src, dst, w, num_dst, block_rows=R, chunk_edges=chunk_edges,
+            num_src=num_src, interpret=interpret, msg_dtype=msg_dtype,
+            window=window),)
+
+    order_ok = np.all(np.diff(dst) >= 0)
+    assert order_ok, "edges must be sorted by dst"
+    dst = np.asarray(dst, np.int64)
+    plans = []
+    for s in range(S):
+        lo = (blocks * s // S) * R
+        hi = min((blocks * (s + 1) // S) * R, num_dst)
+        if s == S - 1:
+            hi = num_dst
+        e_lo = np.searchsorted(dst, lo, side="left")
+        e_hi = np.searchsorted(dst, hi, side="left")
+        plans.append(build_pallas_segment_plan(
+            src[e_lo:e_hi], dst[e_lo:e_hi] - lo, w[e_lo:e_hi], hi - lo,
+            block_rows=R, chunk_edges=chunk_edges, num_src=num_src,
+            interpret=interpret, msg_dtype=msg_dtype, window=window))
+    return tuple(plans)
+
+
 def _segment_kernel(block_ref, first_ref, lid_ref, w_ref, msg_ref, out_ref, *,
                     R: int, T: int):
     from jax.experimental import pallas as pl
@@ -353,17 +405,35 @@ def _apply_padded_blocks(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
     )(*scalars, plan.local_ids, plan.w_padded, msg)
 
 
-def apply_pallas(plan: PallasSegmentPlan, x: jax.Array) -> jax.Array:
-    """y[d] = sum_{e: dst[e]=d} w[e] * x[src[e]] via the chunked kernel."""
+def apply_pallas(plan, x: jax.Array) -> jax.Array:
+    """y[d] = sum_{e: dst[e]=d} w[e] * x[src[e]] via the chunked kernel.
+
+    ``plan`` is a PallasSegmentPlan or a tuple of them (dst-sliced pipeline
+    form, :func:`build_sliced_segment_plans`); slice results concatenate to
+    the bit-identical unsliced rows (block-aligned cuts)."""
+    if isinstance(plan, tuple):
+        if len(plan) == 1:
+            plan = plan[0]
+        else:
+            parts = [_apply_padded_blocks(p, x)[:p.num_dst] for p in plan]
+            return jnp.concatenate(parts, axis=0).astype(x.dtype)
     y_comp = _apply_padded_blocks(plan, x)
     return y_comp[:plan.num_dst].astype(x.dtype)
 
 
-def apply_pallas_padded(plan: PallasSegmentPlan, x_pad: jax.Array) -> jax.Array:
+def apply_pallas_padded(plan, x_pad: jax.Array) -> jax.Array:
     """Padded-chain form: ``x_pad`` is a source table padded to the block
     grid (rows >= num_src; source ids are unchanged because padding lives at
     the tail); the result stays in the (num_blocks*R, D) block space with
     zero pad rows, cast back to ``x_pad.dtype``.  Skips the per-apply
     truncation copy of :func:`apply_pallas` — truncate once per chain with
-    ``y[:num_dst]``."""
+    ``y[:num_dst]``.  For a sliced plan tuple the concatenated slice block
+    spaces ARE the unsliced block space (cuts are block-aligned; interior
+    slices carry no padding, the global tail pad stays at the tail)."""
+    if isinstance(plan, tuple):
+        if len(plan) == 1:
+            plan = plan[0]
+        else:
+            parts = [_apply_padded_blocks(p, x_pad) for p in plan]
+            return jnp.concatenate(parts, axis=0).astype(x_pad.dtype)
     return _apply_padded_blocks(plan, x_pad).astype(x_pad.dtype)

@@ -153,20 +153,29 @@ class RecTrainer:
         return {"model": self.model.state, "train_csr": self.ctx.train_csr,
                 "popmix": self.popmix, "pop_norm": self.pop_norm}
 
-    def _sample_batch(self, key, users, bundle):
+    def _sample_epoch(self, key, users_flat, bundle):
+        """Epoch-hoisted sampling: ONE vectorized positive + negative draw
+        for every batch of the epoch.
+
+        Distribution-identical to per-batch draws (each user's samples are
+        iid either way; only the PRNG stream order changes), but on TPU it
+        collapses ~nb serialized latency-bound sampling ops per epoch into
+        one large-batch call in the fast-gather regime — the per-op flat
+        cost (~1.2 ms/serialized gather on v5e, docs/KERNEL.md) made
+        per-batch sampling a fixed ~4 ms/step tax at reference scale."""
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             from ..parallel.mesh import DATA_AXIS
-            users = jax.lax.with_sharding_constraint(
-                users, NamedSharding(self.mesh, PartitionSpec(DATA_AXIS)))
+            users_flat = jax.lax.with_sharding_constraint(
+                users_flat, NamedSharding(self.mesh, PartitionSpec(DATA_AXIS)))
         kp, kn = jax.random.split(key)
-        pos = sample_positives(kp, bundle["train_csr"], users)
+        pos = sample_positives(kp, bundle["train_csr"], users_flat)
         if bundle["popmix"] is not None:
-            neg = sample_negatives_popmix(kn, bundle["train_csr"], users,
+            neg = sample_negatives_popmix(kn, bundle["train_csr"], users_flat,
                                           bundle["popmix"],
                                           rounds=self.cfg.neg_rounds)
         else:
-            neg = sample_negatives_uniform(kn, bundle["train_csr"], users,
+            neg = sample_negatives_uniform(kn, bundle["train_csr"], users_flat,
                                            self.graph.num_items,
                                            rounds=self.cfg.neg_rounds)
         return pos, neg
@@ -227,11 +236,24 @@ class RecTrainer:
         n_pad = nb * B
 
         def epoch_fn(params, opt_state, key, train_users_dev, bundle):
-            kperm, key = jax.random.split(key)
+            kperm, ksamp, key = jax.random.split(key, 3)
             perm = jax.random.permutation(kperm, train_users_dev)
             pad = jnp.zeros((n_pad - n,), jnp.int32)
-            users_all = jnp.concatenate([perm, pad]).reshape(nb, B)
+            users_flat = jnp.concatenate([perm, pad])
+            pos_flat, neg_flat = self._sample_epoch(ksamp, users_flat, bundle)
+            users_all = users_flat.reshape(nb, B)
+            pos_all = pos_flat.reshape(nb, B)
+            neg_all = neg_flat.reshape(nb, B)
             mask_all = (jnp.arange(n_pad) < n).reshape(nb, B)
+            if self.mesh is not None:
+                # keep each scanned batch row data-sharded
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.mesh import DATA_AXIS
+                sh = NamedSharding(self.mesh,
+                                   PartitionSpec(None, DATA_AXIS))
+                users_all, pos_all, neg_all, mask_all = (
+                    jax.lax.with_sharding_constraint(x, sh)
+                    for x in (users_all, pos_all, neg_all, mask_all))
 
             cached = None
             if cfg.propagation_schedule == "per_epoch":
@@ -243,19 +265,18 @@ class RecTrainer:
                           jax.lax.stop_gradient(item_emb - scale * ego_i))
 
             def step(carry, batch):
-                params, opt_state, key = carry
-                users, mask = batch
-                key, ks = jax.random.split(key)
-                pos, neg = self._sample_batch(ks, users, bundle)
+                params, opt_state = carry
+                users, mask, pos, neg = batch
                 loss, grads = jax.value_and_grad(self._loss_fn)(
                     params, users, pos, neg, mask, bundle, cached)
                 updates, opt_state = self.optimizer.update(grads, opt_state,
                                                            params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, key), loss
+                return (params, opt_state), loss
 
-            (params, opt_state, key), batch_losses = jax.lax.scan(
-                step, (params, opt_state, key), (users_all, mask_all))
+            (params, opt_state), batch_losses = jax.lax.scan(
+                step, (params, opt_state),
+                (users_all, mask_all, pos_all, neg_all))
             return params, opt_state, key, jnp.mean(batch_losses)
 
         return jax.jit(epoch_fn, donate_argnums=(0, 1))

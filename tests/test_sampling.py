@@ -122,3 +122,41 @@ def test_gumbel_topk_mask():
     for t in range(20):
         idx, _ = smp.gumbel_topk(jax.random.PRNGKey(t), logits, 3, mask)
         assert set(np.asarray(idx).tolist()) == {0, 1, 2}
+
+
+def test_hash_membership_matches_bsearch():
+    """Hash-slab membership must be EXACT (bit-equal booleans to the
+    binary-search path) so sampler outputs are identical either way."""
+    rng = np.random.default_rng(11)
+    for nrows, ncols, E in ((40, 60, 500), (1, 5, 3), (100, 1000, 1),
+                            (64, 512, 4000)):
+        edges = np.unique(np.stack([rng.integers(0, nrows, E),
+                                    rng.integers(0, ncols, E)], 1), axis=0).T
+        host = edges_to_csr(edges[0], edges[1], nrows)
+        dev_h = smp.DeviceCSR.from_host(host, ncols, membership="hash")
+        dev_b = smp.DeviceCSR.from_host(host, ncols, membership="bsearch")
+        assert dev_h.hashmem is not None and dev_b.hashmem is None
+        rows = jnp.asarray(rng.integers(0, nrows, 77))
+        cands = jnp.asarray(rng.integers(0, ncols, (77, 9)))
+        got_h = np.asarray(smp.row_contains(dev_h, rows, cands))
+        got_b = np.asarray(smp.row_contains(dev_b, rows, cands))
+        np.testing.assert_array_equal(got_h, got_b)
+
+
+def test_hash_membership_empty():
+    host = edges_to_csr(np.zeros(0, np.int64), np.zeros(0, np.int64), 10)
+    dev = smp.DeviceCSR.from_host(host, 20, membership="hash")
+    rows = jnp.asarray(np.arange(10) % 10)
+    cands = jnp.asarray(np.arange(20).reshape(10, 2))
+    assert not np.asarray(smp.row_contains(dev, rows, cands)).any()
+
+
+def test_samplers_bit_equal_across_membership_modes(csr_pair):
+    host, _ = csr_pair
+    dev_h = smp.DeviceCSR.from_host(host, 60, membership="hash")
+    dev_b = smp.DeviceCSR.from_host(host, 60, membership="bsearch")
+    rows = jnp.asarray(np.resize(np.nonzero(host.degrees() > 0)[0], 128))
+    key = jax.random.PRNGKey(5)
+    neg_h = np.asarray(smp.sample_negatives_uniform(key, dev_h, rows, 60))
+    neg_b = np.asarray(smp.sample_negatives_uniform(key, dev_b, rows, 60))
+    np.testing.assert_array_equal(neg_h, neg_b)
