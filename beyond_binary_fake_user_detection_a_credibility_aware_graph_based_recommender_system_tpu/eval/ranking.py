@@ -54,7 +54,8 @@ class EvalContext:
     _item_pop_dev: Optional[jax.Array] = field(default=None, repr=False)
 
     @classmethod
-    def build(cls, graph: BipartiteGraph) -> "EvalContext":
+    def build(cls, graph: BipartiteGraph,
+              membership: str = "hash") -> "EvalContext":
         I = graph.num_items
         tr = graph.user_csr("train")
         va = graph.user_csr("val")
@@ -62,9 +63,9 @@ class EvalContext:
         pop, total = item_popularity(graph.train_edges, I)
         ctx = cls(
             graph=graph,
-            train_csr=DeviceCSR.from_host(tr, I),
-            val_csr=DeviceCSR.from_host(va, I),
-            test_csr=DeviceCSR.from_host(te, I),
+            train_csr=DeviceCSR.from_host(tr, I, membership=membership),
+            val_csr=DeviceCSR.from_host(va, I, membership=membership),
+            test_csr=DeviceCSR.from_host(te, I, membership=membership),
             item_pop=pop,
             total_train=total,
         )

@@ -97,7 +97,7 @@ class RecTrainer:
 
         self.model = LightGCN(cfg, graph, self.cred,
                               operator_factory=operator_factory)
-        self.ctx = EvalContext.build(graph)
+        self.ctx = EvalContext.build(graph, membership=cfg.membership)
 
         deg_i = graph.train_item_degrees()
         self.pop_norm = jnp.asarray(

@@ -166,6 +166,10 @@ class RecConfig(ConfigBase):
     # mesh-sharded propagation: "halo" = all-to-all of needed rows,
     # "allgather" = replicate the source table (parallel/sharded_spmm.py)
     sharded_spmm_mode: str = "halo"
+    # sampler membership test: "hash" = exact bucketized hash table, one
+    # slab gather per candidate (ops/membership.py); "bsearch" = CSR
+    # binary search (table-free).  Bit-identical sampler outputs.
+    membership: str = "hash"
 
     # Checkpointing
     out_dir: Optional[str] = None
@@ -178,6 +182,7 @@ class RecConfig(ConfigBase):
         assert self.eval_mode in ("sampled", "full"), self.eval_mode
         assert self.table_layout in ("joint", "split"), self.table_layout
         assert self.propagation_schedule in ("per_batch", "per_epoch")
+        assert self.membership in ("hash", "bsearch"), self.membership
         if self.propagation == "symmetric":
             assert self.weight_mode == "symmetric", (
                 "symmetric propagation uses the joint adjacency weights")
