@@ -157,10 +157,12 @@ class RecConfig(ConfigBase):
     # "per_epoch" caches it across an epoch (fast mode).
     propagation_schedule: str = "per_batch"
 
-    # Backend ("auto" = pallas on TPU, xla elsewhere).  Propagation
-    # accumulates in float32 throughout; the SpMM message stream is float32
-    # (bfloat16 streams are a measured non-win: the source gather is
-    # row-count-bound, not byte-bound).
+    # Backend ("auto" = pallas on TPU, xla elsewhere).  "bf16" quantizes
+    # the SpMM message stream (gather + MXU pass) to bfloat16 with fp32
+    # per-destination accumulation — measured ~1.33x at reference scale
+    # (gather time scales with bytes; docs/KERNEL.md).  fp32 is the
+    # reference-parity default; quality agreement between the two is
+    # measured in runs/precision_compare (docs/PRECISION.md).
     spmm_backend: str = "auto"        # "auto" | "xla" | "pallas"
     spmm_precision: str = "fp32"      # "fp32" (parity) | "bf16" (fast mode)
     # mesh-sharded propagation: "halo" = all-to-all of needed rows,
