@@ -257,3 +257,46 @@ def test_spmm_padded_chain_matches_plain(rng):
     dx = jax.grad(f)(x)
     expect = em.to_dense().T @ np.asarray(cot[:em.num_dst], np.float64)
     np.testing.assert_allclose(np.asarray(dx), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_sliced_plans_match_unsliced(rng):
+    """Dst-sliced pipelining (block-aligned cuts) must be BIT-identical to
+    the single plan in both dense and padded-chain forms."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops import spmm_pallas as sp
+
+    em = _random_edge_map(rng, num_src=50, num_dst=400, E=900)
+    order = np.argsort(em.dst, kind="stable")
+    src, dst, w = em.src[order], em.dst[order], em.w[order]
+    x = jnp.asarray(rng.normal(size=(em.num_src, 4)).astype(np.float32))
+
+    single = sp.build_pallas_segment_plan(
+        src, dst, w, em.num_dst, num_src=em.num_src, block_rows=8,
+        chunk_edges=16, interpret=True)
+    y1 = np.asarray(sp.apply_pallas(single, x))
+
+    for S in (2, 3, 4):
+        plans = sp.build_sliced_segment_plans(
+            src, dst, w, em.num_dst, num_src=em.num_src, block_rows=8,
+            chunk_edges=16, interpret=True, slices=S)
+        assert len(plans) == S
+        assert sum(p.num_dst for p in plans) == em.num_dst
+        yS = np.asarray(sp.apply_pallas(plans, x))
+        np.testing.assert_array_equal(yS, y1)
+        # padded-chain form: concatenated slice block spaces == single's
+        total_blocks = sum(p.num_blocks for p in plans)
+        assert total_blocks == single.num_blocks
+        xp = jnp.pad(x, ((0, 0), (0, 0)))
+        pS = np.asarray(sp.apply_pallas_padded(plans, xp))
+        p1 = np.asarray(sp.apply_pallas_padded(single, xp))
+        np.testing.assert_array_equal(pS, p1)
+
+
+def test_sliced_plans_single_block_degenerates(rng):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops import spmm_pallas as sp
+    em = _random_edge_map(rng, num_src=10, num_dst=6, E=20)
+    order = np.argsort(em.dst, kind="stable")
+    plans = sp.build_sliced_segment_plans(
+        em.src[order], em.dst[order], em.w[order], em.num_dst,
+        num_src=em.num_src, block_rows=8, chunk_edges=16, interpret=True,
+        slices="auto")
+    assert len(plans) == 1
