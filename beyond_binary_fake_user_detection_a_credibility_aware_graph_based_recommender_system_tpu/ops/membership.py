@@ -68,9 +68,21 @@ class HashMembership:
     def build(cls, rows: np.ndarray, cols: np.ndarray,
               target_load: float = 0.35) -> "HashMembership":
         """Host build: bucket ``nbuckets`` doubles until the fullest bucket
-        fits ``SLOTS`` pairs (expected O(1) doublings at load 0.35)."""
-        rows = np.asarray(rows, np.int64)
-        cols = np.asarray(cols, np.int64)
+        fits ``SLOTS`` pairs (expected O(1) doublings at load 0.35).
+
+        Pairs are DEDUPLICATED first — membership is a set question, and
+        duplicate (row, col) interaction records (which real review data
+        contains) would otherwise pin one bucket above SLOTS forever.
+        Memory: ~128 bytes/bucket at load <= ``target_load``, i.e.
+        roughly 23-46 bytes per unique pair (vs 4 for the CSR indices it
+        shadows) — ~268 MB at the 10M-edge scale, a deliberate
+        memory-for-latency trade (see module docstring); use
+        ``membership="bsearch"`` where HBM is tighter."""
+        pairs = np.stack([np.asarray(rows, np.int64),
+                          np.asarray(cols, np.int64)], axis=1)
+        if pairs.shape[0]:
+            pairs = np.unique(pairs, axis=0)
+        rows, cols = pairs[:, 0], pairs[:, 1]
         E = rows.shape[0]
         nb = 1
         while nb * SLOTS * target_load < max(E, 1):
@@ -81,6 +93,9 @@ class HashMembership:
             counts = np.bincount(b, minlength=nb)
             if E == 0 or counts.max() <= SLOTS:
                 break
+            if nb > 64 * max(E, 1):
+                raise RuntimeError(
+                    f"hash table failed to settle at nb={nb} for E={E}")
             nb *= 2
         table = np.full((nb, 2 * SLOTS), _EMPTY, np.int32)
         if E:
@@ -92,10 +107,11 @@ class HashMembership:
         return cls(buckets=jnp.asarray(table), nbuckets=nb)
 
     def contains(self, rows: jax.Array, cols: jax.Array) -> jax.Array:
-        """Elementwise membership; ``rows`` broadcasts against ``cols``."""
-        rows = jnp.broadcast_to(rows, jnp.broadcast_shapes(rows.shape,
-                                                           cols.shape))
-        shape = rows.shape
+        """Elementwise membership; ``rows`` and ``cols`` broadcast against
+        each other (numpy rules)."""
+        shape = jnp.broadcast_shapes(rows.shape, cols.shape)
+        rows = jnp.broadcast_to(rows, shape)
+        cols = jnp.broadcast_to(cols, shape)
         r = rows.reshape(-1).astype(jnp.int32)
         c = cols.reshape(-1).astype(jnp.int32)
         b = (_mix_jnp(r, c) & jnp.uint32(self.nbuckets - 1)).astype(jnp.int32)

@@ -272,15 +272,23 @@ def build_sliced_segment_plans(src: np.ndarray, dst: np.ndarray,
     blocks = max(-(-num_dst // R), 1)
     S = min(4, blocks) if slices == "auto" else int(slices)
     S = max(min(S, blocks), 1)
+    full = build_pallas_segment_plan(
+        src, dst, w, num_dst, block_rows=R, chunk_edges=chunk_edges,
+        num_src=num_src, interpret=interpret, msg_dtype=msg_dtype,
+        window=window)
     if S == 1 or E == 0:
-        return (build_pallas_segment_plan(
-            src, dst, w, num_dst, block_rows=R, chunk_edges=chunk_edges,
-            num_src=num_src, interpret=interpret, msg_dtype=msg_dtype,
-            window=window),)
+        return (full,)
 
     order_ok = np.all(np.diff(dst) >= 0)
     assert order_ok, "edges must be sorted by dst"
     dst = np.asarray(dst, np.int64)
+    # The window decision is made ONCE on the full operator and FORCED on
+    # every slice: per-block chunk cuts depend only on that block's edges
+    # and the (R, T, W) parameters, so same-window slices reproduce the
+    # unsliced plan's cuts — and therefore its per-row fp32 accumulation
+    # order — exactly.  (Per-slice "auto" could pick divergent windows on
+    # slices whose local mean degree crosses a threshold.)
+    forced_window = full.window                 # 0 = plain kernel
     plans = []
     for s in range(S):
         lo = (blocks * s // S) * R
@@ -292,7 +300,8 @@ def build_sliced_segment_plans(src: np.ndarray, dst: np.ndarray,
         plans.append(build_pallas_segment_plan(
             src[e_lo:e_hi], dst[e_lo:e_hi] - lo, w[e_lo:e_hi], hi - lo,
             block_rows=R, chunk_edges=chunk_edges, num_src=num_src,
-            interpret=interpret, msg_dtype=msg_dtype, window=window))
+            interpret=interpret, msg_dtype=msg_dtype,
+            window=forced_window))
     return tuple(plans)
 
 

@@ -110,14 +110,8 @@ def main():
     home = h32_np(eu, ei)
     order = np.argsort(home, kind="stable")
     hs = home[order]
-    # parking-function vectorized linear probing: pos[i] = max(hs[i], pos[i-1]+1)
-    pos = np.maximum(hs, np.maximum.accumulate(
-        hs + np.arange(E) - np.maximum.accumulate(
-            np.where(np.arange(E) == 0, hs, 0))) * 0)  # placeholder
-    # simple scan (numpy has no running max+1; emulate)
-    pos = hs.copy()
-    # vector trick: pos = max(hs, prev+1) == elementwise max of hs[i] and
-    # (hs[j] + (i-j)) over j<=i  => running max of (hs - arange) + arange
+    # parking-function vectorized linear probing: pos[i] = max(hs[i],
+    # pos[i-1]+1) == running max of (hs - arange) + arange
     pos = np.maximum.accumulate(hs - np.arange(E)) + np.arange(E)
     maxprobe = int((pos - hs).max())
     print(f"slab hash: load={E/size:.3f} maxprobe={maxprobe}")

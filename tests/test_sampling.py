@@ -160,3 +160,16 @@ def test_samplers_bit_equal_across_membership_modes(csr_pair):
     neg_h = np.asarray(smp.sample_negatives_uniform(key, dev_h, rows, 60))
     neg_b = np.asarray(smp.sample_negatives_uniform(key, dev_b, rows, 60))
     np.testing.assert_array_equal(neg_h, neg_b)
+
+
+def test_hash_membership_duplicate_pairs():
+    """Real review data repeats (user, item) pairs; >SLOTS duplicates of
+    one pair must not wedge the bucket-doubling loop."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops.membership import (
+        SLOTS, HashMembership)
+    rows = np.concatenate([np.zeros(SLOTS + 5, np.int64), [1, 2]])
+    cols = np.concatenate([np.full(SLOTS + 5, 7, np.int64), [3, 4]])
+    hm = HashMembership.build(rows, cols)
+    got = np.asarray(hm.contains(jnp.asarray([0, 0, 1, 2, 2]),
+                                 jnp.asarray([7, 3, 3, 4, 7])))
+    np.testing.assert_array_equal(got, [True, False, True, True, False])

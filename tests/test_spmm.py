@@ -300,3 +300,29 @@ def test_sliced_plans_single_block_degenerates(rng):
         num_src=em.num_src, block_rows=8, chunk_edges=16, interpret=True,
         slices="auto")
     assert len(plans) == 1
+
+
+def test_sliced_plans_share_forced_window(rng):
+    """Window choice is made once on the full operator and forced on every
+    slice — per-slice 'auto' could diverge and break bit-identity."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.ops import spmm_pallas as sp
+
+    # high mean destination degree so window='auto' selects a window
+    num_src, num_dst, E = 300, 1024, 16384
+    src = rng.integers(0, num_src, E).astype(np.int32)
+    dst = np.sort(rng.integers(0, num_dst, E)).astype(np.int64)
+    w = rng.normal(size=E).astype(np.float32)
+
+    single = sp.build_pallas_segment_plan(
+        src, dst, w, num_dst, num_src=num_src, block_rows=512,
+        chunk_edges=256, interpret=True, window="auto")
+    assert single.window > 0, "test premise: auto should pick a window here"
+    plans = sp.build_sliced_segment_plans(
+        src, dst, w, num_dst, num_src=num_src, block_rows=512,
+        chunk_edges=256, interpret=True, window="auto", slices=2)
+    assert len(plans) == 2
+    assert all(p.window == single.window for p in plans)
+    x = jnp.asarray(rng.normal(size=(num_src, 8)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(sp.apply_pallas(plans, x)),
+        np.asarray(sp.apply_pallas(single, x)))

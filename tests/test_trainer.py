@@ -80,16 +80,16 @@ def test_per_epoch_schedule_close_to_per_batch(train_graph):
     reduce BPR to zero gradient)."""
     tr_fast = _mk(get_preset("vanilla"), train_graph,
                   propagation_schedule="per_epoch")
-    res_fast = tr_fast.fit(epochs=15)
+    res_fast = tr_fast.fit(epochs=25)
     tr_ref = _mk(get_preset("vanilla"), train_graph)
-    res_ref = tr_ref.fit(epochs=15)
+    res_ref = tr_ref.fit(epochs=25)
     assert res_fast.best_val_recall > 0.5 * res_ref.best_val_recall, (
         res_fast.best_val_recall, res_ref.best_val_recall)
     # the zero-gradient guard: with a cached-constant propagation the BPR
     # term is exactly log(2) ~= 0.69315 forever (only the tiny L2 term
     # moves); the live-ego path must pull it measurably below that
     assert res_fast.history[-1].loss < 0.692, res_fast.history[-1].loss
-    assert res_fast.history[-1].loss < res_fast.history[0].loss
+    assert res_fast.history[-1].loss < res_fast.history[0].loss - 5e-4
 
 
 def test_determinism_same_seed(train_graph):
