@@ -11,6 +11,19 @@ for three configurations:
                  direction, max(deg,1) guard     (version_1/lightgcn_cu_message.py:347-452)
   * pop_neg    — cu_message + Method-E popularity-mix negative sampler,
                  pop^0.75 mix 0.7, <=50 tries    (version_1/lightgcn_cu_pop_method-e.py:336-359,625-638)
+  * cred_eq322 — synchronous (Jacobi) bipartite propagation with the
+                 user update consuming PREVIOUS-layer items (is_[-1]),
+                 1e-12 degree guard, cred on the item<-user direction,
+                 optional fairness loss lambda_fair*mean(pop[pos]*score)
+                                                 (/root/reference/lightgcn_cu.py:368-463,639-648)
+  * degree_aware — cu_message mats with Method-A popularity damping
+                 alpha_i = 1/log1p(max(deg_i,1)) multiplied into BOTH
+                 directions                      (version_1/lightgcn_cu_pop_Degree-Aware Message.py:349-403)
+  * pop_extended — pop_neg + the Version-2 extended sampled evaluation:
+                 item coverage, avg log-popularity, avg self-information
+                 (Laplace smoothing), cred utility, high/low-cred group
+                 recall (top/bottom 20% of evaluated users)
+                                                 (/root/reference/Version-2/lighgcn_cu_pop.py:382-423,536-660)
 
 This is the head-to-head baseline the TPU framework's training dynamics are
 compared against on a SHARED graph + splits (scripts/parity_run.py); it is
@@ -100,6 +113,75 @@ def build_cu_mats(train_edges, num_users, num_items, cred_u):
     return M_ui, M_iu
 
 
+def build_eq322_mats(train_edges, num_users, num_items, cred_u):
+    """Eq 3.23/3.24 operators with the 1e-12 denominator guard
+    (/root/reference/lightgcn_cu.py:368-399).  Note the guard differs from
+    cu_message's max(deg,1) clamp: zero-degree endpoints blow UP here."""
+    u = train_edges[0].astype(np.int64)
+    i = train_edges[1].astype(np.int64)
+    deg_u = np.bincount(u, minlength=num_users).astype(np.float32)
+    deg_i = np.bincount(i, minlength=num_items).astype(np.float32)
+    denom = np.sqrt(np.maximum(deg_u[u] * deg_i[i], 1e-12)).astype(np.float32)
+    w_ui = (cred_u[u] / denom).astype(np.float32)   # item <- user (cred)
+    w_iu = (1.0 / denom).astype(np.float32)          # user <- item
+    M_ui = torch.sparse_coo_tensor(
+        torch.tensor(np.vstack([i, u]), dtype=torch.long),
+        torch.tensor(w_ui), size=(num_items, num_users)).coalesce()
+    M_iu = torch.sparse_coo_tensor(
+        torch.tensor(np.vstack([u, i]), dtype=torch.long),
+        torch.tensor(w_iu), size=(num_users, num_items)).coalesce()
+    return M_ui, M_iu, deg_i
+
+
+def build_da_mats(train_edges, num_users, num_items, cred_u):
+    """cu_message mats with Method-A damping alpha_i=1/log1p(max(deg_i,1))
+    on BOTH directions (version_1/...Degree-Aware Message.py:349-403)."""
+    u = train_edges[0].astype(np.int64)
+    i = train_edges[1].astype(np.int64)
+    deg_u = np.bincount(u, minlength=num_users).astype(np.float32)
+    deg_i = np.bincount(i, minlength=num_items).astype(np.float32)
+    w_base = (1.0 / np.sqrt(np.maximum(deg_u, 1.0)))[u] * \
+             (1.0 / np.sqrt(np.maximum(deg_i, 1.0)))[i]
+    alpha_i = (1.0 / np.log1p(np.maximum(deg_i, 1.0))).astype(np.float32)
+    w_pop = (w_base * alpha_i[i]).astype(np.float32)
+    M_ui = torch.sparse_coo_tensor(
+        torch.tensor(np.vstack([u, i]), dtype=torch.long),
+        torch.tensor(w_pop), size=(num_users, num_items)).coalesce()
+    M_iu = torch.sparse_coo_tensor(
+        torch.tensor(np.vstack([i, u]), dtype=torch.long),
+        torch.tensor((cred_u[u].astype(np.float32) * w_pop)),
+        size=(num_items, num_users)).coalesce()
+    return M_ui, M_iu
+
+
+class CredEq322Model(torch.nn.Module):
+    """Synchronous-bipartite CredLightGCN (lightgcn_cu.py:405-448): the
+    user update reads is_[-1] — the previous layer's ITEM embeddings —
+    while the item update reads the current user embeddings (Jacobi)."""
+
+    def __init__(self, num_users, num_items, M_ui, M_iu):
+        super().__init__()
+        self.M_ui, self.M_iu = M_ui, M_iu   # [I,U], [U,I]
+        self.user_emb = torch.nn.Embedding(num_users, EMB_DIM)
+        self.item_emb = torch.nn.Embedding(num_items, EMB_DIM)
+        torch.nn.init.xavier_uniform_(self.user_emb.weight)
+        torch.nn.init.xavier_uniform_(self.item_emb.weight)
+
+    def tables(self):
+        e_u, e_i = self.user_emb.weight, self.item_emb.weight
+        us, is_ = [e_u], [e_i]
+        for _ in range(NUM_LAYERS):
+            e_i = torch.sparse.mm(self.M_ui, e_u)       # item <- user^k
+            e_u = torch.sparse.mm(self.M_iu, is_[-1])   # user <- item^k (OLD)
+            us.append(e_u)
+            is_.append(e_i)
+        return (torch.stack(us).mean(0), torch.stack(is_).mean(0))
+
+    def ego(self, users, pos, neg):
+        return (self.user_emb.weight[users], self.item_emb.weight[pos],
+                self.item_emb.weight[neg])
+
+
 class VanillaModel(torch.nn.Module):
     def __init__(self, num_users, num_items, adj):
         super().__init__()
@@ -163,8 +245,31 @@ def metrics_at_k(ranked, pos, K):
     return h / K, float(h), dcg  # idcg for 1 relevant = 1
 
 
-def evaluate_sampled(model, train_csr, eval_csr, num_items, seed):
-    """1 pos + 99 rejected negatives per eval user (lightgcn.py:397-456)."""
+def make_cred_groups(users, cred, pct=0.20):
+    """Top/bottom pct of EVALUATED users by cred, k=max(round(n*pct),1),
+    stable argsort ascending (Version-2/lighgcn_cu_pop.py:407-423)."""
+    c = cred[users]
+    k = max(int(round(users.size * pct)), 1)
+    order = np.argsort(c)
+    return users[order[-k:]].astype(np.int64), users[order[:k]].astype(np.int64)
+
+
+def novelty_stats(topk, pop, total_train, num_items):
+    """AvgLogPop + AvgSelfInformation with Laplace smoothing
+    (Version-2/lighgcn_cu_pop.py:390-404)."""
+    pops = pop[np.asarray(topk, dtype=np.int64)]
+    lp = float(np.log(pops + 1.0).mean())
+    p = (pops + 1.0) / (total_train + num_items)
+    si = float((-np.log2(p)).mean())
+    return lp, si
+
+
+def evaluate_sampled(model, train_csr, eval_csr, num_items, seed,
+                     extended=False, item_pop=None, total_train=0,
+                     cred=None, cred_group_pct=0.20):
+    """1 pos + 99 rejected negatives per eval user (lightgcn.py:397-456);
+    with extended=True also the Version-2 beyond-accuracy metrics
+    (Version-2/lighgcn_cu_pop.py:536-660)."""
     indptr_tr, indices_tr = train_csr
     indptr_ev, indices_ev = eval_csr
     with torch.no_grad():
@@ -172,6 +277,15 @@ def evaluate_sampled(model, train_csr, eval_csr, num_items, seed):
     rng = np.random.default_rng(seed + 999)
     users = np.where(np.diff(indptr_ev) > 0)[0]
     sums = {K: [0.0, 0.0, 0.0] for K in KS}
+    ext = {K: {"logpop": 0.0, "selfinfo": 0.0,
+               "high_r": 0.0, "low_r": 0.0, "high_n": 0, "low_n": 0}
+           for K in KS}
+    rec_items = {K: set() for K in KS}
+    cred_sum = 0.0
+    if extended:
+        high_u, low_u = make_cred_groups(users.astype(np.int64), cred,
+                                         cred_group_pct)
+        high_set, low_set = set(map(int, high_u)), set(map(int, low_u))
     for u in users:
         s, e = indptr_ev[u], indptr_ev[u + 1]
         gt = indices_ev[s:e]
@@ -187,14 +301,39 @@ def evaluate_sampled(model, train_csr, eval_csr, num_items, seed):
         scores = (user_emb[int(u)].unsqueeze(0)
                   * item_emb[cand]).sum(1).numpy()
         ranked = cand[np.argsort(-scores)]
+        if extended:
+            cred_sum += float(cred[int(u)])
         for K in KS:
             p, r, n = metrics_at_k(ranked, pos, K)
             sums[K][0] += p
             sums[K][1] += r
             sums[K][2] += n
+            if extended:
+                topk = ranked[:K]
+                rec_items[K].update(map(int, topk))
+                lp, si = novelty_stats(topk, item_pop, total_train, num_items)
+                ext[K]["logpop"] += lp
+                ext[K]["selfinfo"] += si
+                if int(u) in high_set:
+                    ext[K]["high_r"] += r
+                    ext[K]["high_n"] += 1
+                if int(u) in low_set:
+                    ext[K]["low_r"] += r
+                    ext[K]["low_n"] += 1
     n_u = len(users)
-    return {K: {"precision": sums[K][0] / n_u, "recall": sums[K][1] / n_u,
-                "ndcg": sums[K][2] / n_u} for K in KS}
+    out = {K: {"precision": sums[K][0] / n_u, "recall": sums[K][1] / n_u,
+               "ndcg": sums[K][2] / n_u} for K in KS}
+    if extended:
+        for K in KS:
+            out[K].update({
+                "item_coverage": len(rec_items[K]) / max(num_items, 1),
+                "avg_log_popularity": ext[K]["logpop"] / n_u,
+                "avg_self_information": ext[K]["selfinfo"] / n_u,
+                "cred_utility": cred_sum / n_u,
+                "high_cred_recall": ext[K]["high_r"] / max(ext[K]["high_n"], 1),
+                "low_cred_recall": ext[K]["low_r"] / max(ext[K]["low_n"], 1),
+            })
+    return out
 
 
 def sample_neg_uniform(indptr, indices, user, num_items, rng):
@@ -216,7 +355,8 @@ def sample_neg_popmix(indptr, indices, user, num_items, rng, pop_prob,
     return sample_neg_uniform(indptr, indices, user, num_items, rng)
 
 
-def run(config, graph_npz, seed, epochs, eval_every, log):
+def run(config, graph_npz, seed, epochs, eval_every, log,
+        cred_path=None, lambda_fair=0.0):
     z = np.load(graph_npz)
     train_edges, val_edges, test_edges = (z["train_edges"], z["val_edges"],
                                           z["test_edges"])
@@ -230,21 +370,45 @@ def run(config, graph_npz, seed, epochs, eval_every, log):
     val_csr = edges_to_user_csr(val_edges, num_users)
     test_csr = edges_to_user_csr(test_edges, num_users)
 
+    # Cred vector: all-ones matches 4 of the 6 reference runs (the CSV was
+    # missing at runtime); cred_eq322 runs take a real-like low-variance
+    # vector via --cred (lightgcn_cu_fair.out used real scores, p50=0.065).
+    if cred_path:
+        cred = np.load(cred_path).astype(np.float64)
+        assert cred.shape == (num_users,)
+    else:
+        cred = np.ones(num_users, np.float64)
+
+    pop_norm = None
     if config == "vanilla":
         model = VanillaModel(num_users, num_items,
                              build_vanilla_adj(train_edges, num_users,
                                                num_items))
-    else:
-        cred = np.ones(num_users, np.float64)  # all-ones per reference runs
+    elif config == "cred_eq322":
+        M_ui, M_iu, deg_i = build_eq322_mats(train_edges, num_users,
+                                             num_items, cred)
+        model = CredEq322Model(num_users, num_items, M_ui, M_iu)
+        # Eq 3.27 pop(i) from TRAIN degrees (lightgcn_cu.py:583-584)
+        pop_norm = torch.tensor(
+            (deg_i / max(float(deg_i.max()), 1.0)).astype(np.float32))
+    elif config == "degree_aware":
+        M_ui, M_iu = build_da_mats(train_edges, num_users, num_items, cred)
+        model = CuMessageModel(num_users, num_items, M_ui, M_iu)
+    else:  # cu_message / pop_neg / pop_extended
         M_ui, M_iu = build_cu_mats(train_edges, num_users, num_items, cred)
         model = CuMessageModel(num_users, num_items, M_ui, M_iu)
 
+    deg_train = np.bincount(train_edges[1].astype(np.int64),
+                            minlength=num_items).astype(np.float64)
     pop_prob = None
-    if config == "pop_neg":
-        deg = np.bincount(train_edges[1].astype(np.int64),
-                          minlength=num_items).astype(np.float64)
-        pop = np.power(deg + 1.0, 0.75)
+    if config in ("pop_neg", "pop_extended"):
+        pop = np.power(deg_train + 1.0, 0.75)
         pop_prob = pop / (pop.sum() + 1e-12)
+    extended = config == "pop_extended"
+    item_pop = deg_train.astype(np.int64)
+    total_train = int(item_pop.sum())
+    eval_kw = dict(extended=extended, item_pop=item_pop,
+                   total_train=total_train, cred=cred) if extended else {}
 
     opt = torch.optim.Adam(model.parameters(), lr=LR)
     indptr, indices = train_csr
@@ -271,13 +435,19 @@ def run(config, graph_npz, seed, epochs, eval_every, log):
             nt = torch.tensor(neg, dtype=torch.long)
             user_emb, item_emb = model.tables()
             loss = bpr_loss(model, ut, pt, nt, user_emb, item_emb)
+            if lambda_fair != 0.0 and pop_norm is not None:
+                # Eq 3.27/3.28 minibatch fairness over observed positives
+                # (lightgcn_cu.py:639-648)
+                pos_scores = (user_emb[ut] * item_emb[pt]).sum(1)
+                loss = loss + lambda_fair * (pop_norm[pt] * pos_scores).mean()
             opt.zero_grad()
             loss.backward()
             opt.step()
             total += float(loss.item())
             steps += 1
         if epoch % eval_every == 0:
-            val = evaluate_sampled(model, train_csr, val_csr, num_items, seed)
+            val = evaluate_sampled(model, train_csr, val_csr, num_items,
+                                   seed, **eval_kw)
             score = val[max(KS)]["recall"]
             log(f"[oracle {config} s{seed}] ep{epoch} loss={total/max(steps,1):.5f} "
                 f"valR@{max(KS)}={score:.4f}")
@@ -287,19 +457,26 @@ def run(config, graph_npz, seed, epochs, eval_every, log):
                               model.state_dict().items()}
     if best_state is not None:
         model.load_state_dict(best_state)
-    test = evaluate_sampled(model, train_csr, test_csr, num_items, seed)
+    test = evaluate_sampled(model, train_csr, test_csr, num_items, seed,
+                            **eval_kw)
     return {"config": config, "seed": seed, "best_val": best_val,
-            "test": test}
+            "test": test, "lambda_fair": lambda_fair,
+            "cred": cred_path or "ones"}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--graph", required=True)
     ap.add_argument("--config", required=True,
-                    choices=["vanilla", "cu_message", "pop_neg"])
+                    choices=["vanilla", "cu_message", "pop_neg",
+                             "cred_eq322", "cred_eq322_fair",
+                             "degree_aware", "pop_extended"])
     ap.add_argument("--seed", type=int, required=True)
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--eval-every", type=int, default=2)
+    ap.add_argument("--cred", default=None,
+                    help="npy cred vector path (default all-ones)")
+    ap.add_argument("--lambda-fair", type=float, default=0.0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -307,8 +484,13 @@ def main():
         print(m, file=sys.stderr, flush=True)
 
     t0 = time.time()
-    res = run(args.config, args.graph, args.seed, args.epochs,
-              args.eval_every, log)
+    config, lam = args.config, args.lambda_fair
+    if config == "cred_eq322_fair":   # alias: eq322 with fairness enabled
+        config, lam = "cred_eq322", (lam or 1e-2)
+    res = run(config, args.graph, args.seed, args.epochs,
+              args.eval_every, log, cred_path=args.cred,
+              lambda_fair=lam)
+    res["config"] = args.config
     res["seconds"] = time.time() - t0
     line = json.dumps(res)
     print(line)
