@@ -119,32 +119,60 @@ class RecTrainer:
         # operator state flows as an argument so edge arrays never inline
         # into the compiled program as constants
         self._propagate_fn = jax.jit(
-            lambda params, mstate: self.model.propagate(params, mstate))
+            lambda params, mstate: self.model.propagate(self._trim(params),
+                                                        mstate))
 
     # ------------------------------------------------------------------
+    def _pad_params(self, params):
+        """Pad each (N, D) table with zero rows to ceil(N/P)*P so it row-
+        shards evenly over the model axis — replication at non-divisible
+        sizes (e.g. the reference's 58,867 users on a 4-way axis) would
+        silently forfeit the memory sharding exists for.  ``_trim`` slices
+        back to exact rows inside jit; the slice VJP zero-pads, so pad rows
+        get exactly-zero grads and their Adam moments never move."""
+        from ..parallel.mesh import MODEL_AXIS
+        n_model = int(self.mesh.shape[MODEL_AXIS])
+        self._row_pad = {}
+        out = {}
+        for k, v in params.items():
+            rows = v.shape[0]
+            padded = -(-rows // n_model) * n_model
+            if padded != rows:
+                self._row_pad[k] = rows
+                v = jnp.concatenate(
+                    [v, jnp.zeros((padded - rows,) + v.shape[1:], v.dtype)])
+            out[k] = v
+        return out
+
+    def _trim(self, params):
+        """Exact-row view of (possibly padded) mesh-path tables."""
+        pad = getattr(self, "_row_pad", None)
+        if not pad:
+            return params
+        return {k: (v[:pad[k]] if k in pad else v) for k, v in params.items()}
+
     def init_state(self, seed: Optional[int] = None):
         seed = self.cfg.seed if seed is None else seed
         key = jax.random.PRNGKey(seed)
         key, kinit = jax.random.split(key)
         params = init_params(kinit, self.cfg, self.graph.num_users,
                              self.graph.num_items)
-        opt_state = self.optimizer.init(params)
         if self.mesh is not None:
-            from ..parallel.mesh import MODEL_AXIS, replicated, row_sharded
-            n_model = self.mesh.shape[MODEL_AXIS]
+            from ..parallel.mesh import replicated, row_sharded
+            params = self._pad_params(params)
             rep = replicated(self.mesh)
+            rs = row_sharded(self.mesh)
 
             def sharding_for(x):
-                # row-shard (N, D) tables when N divides the model axis;
-                # otherwise replicate (arbitrary graph sizes)
-                if getattr(x, "ndim", 0) >= 2 and x.shape[0] % n_model == 0:
-                    return row_sharded(self.mesh)
-                return rep
+                return rs if getattr(x, "ndim", 0) >= 2 else rep
 
             params = jax.device_put(
                 params, {k: sharding_for(v) for k, v in params.items()})
+            opt_state = self.optimizer.init(params)
             opt_state = jax.tree.map(
                 lambda x: jax.device_put(x, sharding_for(x)), opt_state)
+        else:
+            opt_state = self.optimizer.init(params)
         return params, opt_state, key
 
     # ------------------------------------------------------------------
@@ -182,6 +210,7 @@ class RecTrainer:
 
     def _loss_fn(self, params, users, pos, neg, mask, bundle,
                  cached_rest: Optional[Tuple[jax.Array, jax.Array]] = None):
+        params = self._trim(params)
         if cached_rest is None and self.mesh is None:
             # batch-row combine: gather each layer's batch rows and average
             # B-row vectors instead of materializing the combined tables —
@@ -257,9 +286,10 @@ class RecTrainer:
 
             cached = None
             if cfg.propagation_schedule == "per_epoch":
-                user_emb, item_emb = self.model.propagate(params,
+                tparams = self._trim(params)
+                user_emb, item_emb = self.model.propagate(tparams,
                                                           bundle["model"])
-                ego_u, ego_i = ego_tables(params, self.graph.num_users)
+                ego_u, ego_i = ego_tables(tparams, self.graph.num_users)
                 scale = 1.0 / (cfg.num_layers + 1)
                 cached = (jax.lax.stop_gradient(user_emb - scale * ego_u),
                           jax.lax.stop_gradient(item_emb - scale * ego_i))
@@ -349,8 +379,8 @@ class RecTrainer:
                     best_params = jax.tree.map(jnp.copy, params)
                     self._log(f"  saved best (val Recall@{selK}={best_val:.4f})")
                     if cfg.out_dir and cfg.save_best:
-                        save_params_npz(
-                            f"{cfg.out_dir}/best_model.npz", best_params)
+                        save_params_npz(f"{cfg.out_dir}/best_model.npz",
+                                        self._trim(best_params))
             history.append(entry)
 
             if checkpointer is not None:
@@ -363,7 +393,9 @@ class RecTrainer:
             checkpointer.wait()
         test_res = self.evaluate(best_params, "test")
         self._log("\nTEST " + format_metrics_block("TEST", test_res)[5:])
-        return FitResult(best_params=best_params, best_val_recall=best_val,
+        # external contract: exact-row tables (mesh padding is internal)
+        return FitResult(best_params=self._trim(best_params),
+                         best_val_recall=best_val,
                          test_metrics=test_res, history=history)
 
     def _log(self, msg: str):

