@@ -10,8 +10,14 @@ sampling runs on device, whole batch at once:
   * rejection loops become a bounded number of batched redraw rounds —
     distribution-equivalent to the reference's sequential rejection, not
     bit-equivalent (SURVEY.md §7 "hard parts");
-  * the popularity mixture draws from pop^gamma via inverse-CDF
-    ``searchsorted`` instead of ``rng.choice(p=...)``;
+  * the popularity mixture draws from pop^gamma via an O(1) Walker/Vose
+    ALIAS TABLE built in float64 on host (BASELINE's "vectorized on-device
+    alias sampling") instead of ``rng.choice(p=...)`` — a float32
+    inverse-CDF collapses at north-star catalogs (at 10M items the
+    per-item probabilities ~1e-7 fall below the float32 ULP near 1.0, so
+    adjacent CDF entries collide and tail items become unsamplable; the
+    alias table's per-bucket accept values live in [0,1] where float32
+    has full resolution);
   * SLAS-style weighted sampling without replacement uses Gumbel top-k.
 
 All functions are jit-safe (static shapes, no data-dependent Python control
@@ -144,16 +150,76 @@ def sample_negatives_uniform(key: jax.Array, csr: DeviceCSR, rows: jax.Array,
     return _first_good(cand, good)
 
 
+def build_alias_table(prob: np.ndarray):
+    """Exact Walker/Vose alias table in float64.
+
+    Returns ``(accept, alias)``: draw bucket j uniformly, keep j with
+    probability ``accept[j]`` else emit ``alias[j]`` — O(1) per draw (two
+    gathers) vs the inverse-CDF's log2(I)-deep searchsorted.
+
+    Construction is the exact Vose pairing, vectorized: each round pairs
+    every remaining deficit bucket ("small", scaled < 1) with one surplus
+    bucket ("large"); a large that dips below 1 rejoins the smalls.  The
+    pathological endgame — a handful of heavy buckets absorbing millions
+    of smalls one round each — switches to a chunked absorb: each
+    remaining large takes a contiguous run of smalls found by
+    searchsorted over the cumulative deficits (identical arithmetic to
+    running the rounds out, without the per-round Python cost).
+    """
+    prob = np.asarray(prob, np.float64)
+    n = prob.shape[0]
+    scaled = prob * (n / prob.sum())
+    accept = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int64)
+
+    small = np.nonzero(scaled < 1.0)[0]
+    large = np.nonzero(scaled >= 1.0)[0]
+    while small.size and large.size:
+        if large.size <= 8 < small.size:
+            # chunked endgame: absorb runs of smalls per large
+            deficits = 1.0 - scaled[small]
+            pos = 0
+            li = 0
+            while li < large.size and pos < small.size:
+                j = large[li]
+                cum = np.cumsum(deficits[pos:])
+                k = int(np.searchsorted(cum, scaled[j] - 1.0, side="left"))
+                k = min(k, cum.shape[0] - 1)
+                run = small[pos:pos + k + 1]
+                accept[run] = scaled[run]
+                alias[run] = j
+                scaled[j] -= cum[k]
+                if scaled[j] < 1.0 and li + 1 < large.size:
+                    # j became a small: hand its deficit to the next large
+                    small = np.append(small, j)
+                    deficits = np.append(deficits, 1.0 - scaled[j])
+                pos += k + 1
+                li += 1
+            # float residue: any leftovers keep accept=1 (self-alias)
+            break
+        k = min(small.size, large.size)
+        s, l = small[:k], large[:k]
+        accept[s] = scaled[s]
+        alias[s] = l
+        scaled[l] -= 1.0 - scaled[s]
+        still_large = scaled[l] >= 1.0
+        small = np.concatenate([small[k:], l[~still_large]])
+        large = np.concatenate([large[k:], l[still_large]])
+    return accept, alias
+
+
 @dataclass(frozen=True)
 class PopMixSampler:
     """Method E popularity-mixture negative sampler
     (Version-2/lighgcn_cu_pop.py:349-376; dist built :805-814).
 
-    With probability ``mix_pop`` draw from p(i) ∝ (deg_i+1)^gamma, else
-    uniform; reject interacted items with bounded redraws and a final uniform
-    fallback round (mirroring the reference's 50-try fallback).
+    With probability ``mix_pop`` draw from p(i) ∝ (deg_i+1)^gamma via an
+    alias table (built exactly in float64, see :func:`build_alias_table`),
+    else uniform; reject interacted items with bounded redraws and a final
+    uniform fallback round (mirroring the reference's 50-try fallback).
     """
-    cdf: jax.Array            # (I,) float32 inclusive CDF of pop^gamma probs
+    accept: jax.Array         # (I,) float32 alias accept thresholds
+    alias: jax.Array          # (I,) int32 alias targets
     mix_pop: float
     num_items: int
 
@@ -161,23 +227,24 @@ class PopMixSampler:
     def build(cls, item_train_degrees: np.ndarray, mix_pop: float = 0.7,
               gamma: float = 0.75) -> "PopMixSampler":
         pop = np.power(np.asarray(item_train_degrees, np.float64) + 1.0, gamma)
-        prob = pop / (pop.sum() + 1e-12)
-        cdf = np.cumsum(prob)
-        cdf[-1] = 1.0
-        return cls(cdf=jnp.asarray(cdf, jnp.float32), mix_pop=float(mix_pop),
+        accept, alias = build_alias_table(pop)
+        return cls(accept=jnp.asarray(accept, jnp.float32),
+                   alias=jnp.asarray(alias, jnp.int32),
+                   mix_pop=float(mix_pop),
                    num_items=int(item_train_degrees.shape[0]))
 
     def draw(self, key: jax.Array, shape) -> jax.Array:
-        ku, km, kp = jax.random.split(key, 3)
+        ku, km, kb, ka = jax.random.split(key, 4)
         use_pop = jax.random.uniform(km, shape) < self.mix_pop
-        u = jax.random.uniform(kp, shape)
-        pop_draw = jnp.searchsorted(self.cdf, u, side="left").astype(jnp.int32)
-        pop_draw = jnp.clip(pop_draw, 0, self.num_items - 1)
+        bucket = jax.random.randint(kb, shape, 0, self.num_items)
+        keep = jax.random.uniform(ka, shape) < self.accept[bucket]
+        pop_draw = jnp.where(keep, bucket, self.alias[bucket])
         uni_draw = _redraw_uniform(ku, shape, self.num_items)
         return jnp.where(use_pop, pop_draw, uni_draw)
 
 jax.tree_util.register_dataclass(
-    PopMixSampler, data_fields=["cdf"], meta_fields=["mix_pop", "num_items"])
+    PopMixSampler, data_fields=["accept", "alias"],
+    meta_fields=["mix_pop", "num_items"])
 
 
 def sample_negatives_popmix(key: jax.Array, csr: DeviceCSR, rows: jax.Array,

@@ -67,6 +67,63 @@ def test_popmix_distribution():
     np.testing.assert_allclose(freq, expect, atol=0.02)
 
 
+def test_alias_table_exact_reconstruction_1m_items():
+    """VERDICT r3 item 6: at >=1M items the alias table must represent the
+    target distribution EXACTLY (the float32 inverse-CDF it replaces loses
+    tail items to ULP collisions near 1.0).  Reconstruction identity:
+    p[i] = (accept[i] + sum_{j: alias[j]==i} (1-accept[j])) / n."""
+    rng = np.random.default_rng(13)
+    n = 1_000_000
+    # zipf-like degrees: heavy head, long zero tail (the hard case for the
+    # round-pairing construction: few larges absorb ~everything)
+    deg = np.zeros(n)
+    deg[:1000] = np.floor(1e5 / (1.0 + np.arange(1000)) ** 1.2)
+    pop = (deg + 1.0) ** 0.75
+    accept, alias = smp.build_alias_table(pop)
+    prob = pop / pop.sum()
+    recon = accept.copy()
+    np.add.at(recon, alias, 1.0 - accept)
+    recon /= n
+    np.testing.assert_allclose(recon, prob, rtol=1e-9, atol=1e-15)
+
+
+def test_alias_table_uniform_and_point_mass():
+    # uniform: every accept == 1 (self-alias)
+    accept, alias = smp.build_alias_table(np.ones(17))
+    np.testing.assert_allclose(accept, 1.0)
+    # extreme: half the mass on one bucket of 1e6 (single-large endgame)
+    n = 1_000_000
+    pop = np.ones(n)
+    pop[42] = n - 1.0  # bucket 42 carries ~half the total mass
+    accept, alias = smp.build_alias_table(pop)
+    prob = pop / pop.sum()
+    recon = accept.copy()
+    np.add.at(recon, alias, 1.0 - accept)
+    recon /= n
+    np.testing.assert_allclose(recon, prob, rtol=1e-9, atol=1e-15)
+
+
+def test_popmix_tail_samplable_at_1m_items():
+    """Tail items (indices near I-1, where a float32 CDF saturates) must
+    still be drawn at their expected rate."""
+    n = 1_000_000
+    deg = np.zeros(n)
+    deg[:100] = 1e5
+    s = smp.PopMixSampler.build(deg, mix_pop=1.0, gamma=0.75)
+    m = 200_000
+    draws = np.asarray(s.draw(jax.random.PRNGKey(17), (m,)))
+    pop = (deg + 1.0) ** 0.75
+    prob = pop / pop.sum()
+    # last 10% of the catalog: expected mass under the pop distribution
+    tail = draws >= n - n // 10
+    expect = prob[n - n // 10:].sum()
+    got = tail.mean()
+    assert expect > 0.05  # the tail genuinely carries mass in this setup
+    assert abs(got - expect) < 0.01, (got, expect)
+    # and draws actually reach the very end of the catalog
+    assert draws.max() > n - n // 100
+
+
 def test_popmix_mixture_uniform_component():
     deg = np.zeros(10)
     s = smp.PopMixSampler.build(deg, mix_pop=0.0)
