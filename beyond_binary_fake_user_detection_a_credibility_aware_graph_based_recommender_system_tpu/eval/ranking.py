@@ -39,10 +39,11 @@ from .metrics import (cred_groups, item_popularity, novelty_stats,
 class EvalContext:
     """Device-resident evaluation state for one graph.
 
-    The (U, Pmax) padded train-row table (full-catalog masking) and the
-    device popularity vector (extended metrics) are built lazily — the
-    default sampled protocol never needs them, and the padded table can
-    reach hundreds of MB under power-law degree skew."""
+    Full-catalog masking builds (B, Pb) exclusion rows PER BATCH from the
+    host CSR (``train_exclusion_rows``) — a global (U, Pmax) table reaches
+    hundreds of MB under power-law degree skew.  The device popularity
+    vector (extended metrics) is built lazily; the default sampled
+    protocol never needs it."""
     graph: BipartiteGraph
     train_csr: DeviceCSR
     val_csr: DeviceCSR
@@ -50,7 +51,6 @@ class EvalContext:
     item_pop: np.ndarray              # (I,) int64 train popularity
     total_train: int
     eval_users: Dict[str, np.ndarray] = field(default_factory=dict)
-    _train_padded_rows: Optional[jax.Array] = field(default=None, repr=False)
     _item_pop_dev: Optional[jax.Array] = field(default=None, repr=False)
 
     @classmethod
@@ -75,13 +75,12 @@ class EvalContext:
         }
         return ctx
 
-    @property
-    def train_padded_rows(self) -> jax.Array:
-        if self._train_padded_rows is None:
-            from .retrieval import build_exclusion_rows
-            self._train_padded_rows = jnp.asarray(
-                build_exclusion_rows(self.graph, "train"))
-        return self._train_padded_rows
+    def train_exclusion_rows(self, users: np.ndarray) -> np.ndarray:
+        """(B, Pb) per-batch train-item exclusion rows — O(B*Pb) peak
+        memory instead of the former global (U, Pmax) table (~460 MB at
+        reference scale, untenable at the 10M north star)."""
+        from .retrieval import exclusion_rows_for_users
+        return exclusion_rows_for_users(self.graph, users, "train")
 
     @property
     def item_pop_dev(self) -> jax.Array:
@@ -95,13 +94,13 @@ class EvalContext:
 
 
 def _batched(users: np.ndarray, batch: int):
-    """Yield (padded_batch, num_valid)."""
+    """Yield (padded_batch_device, padded_batch_host, num_valid)."""
     for s in range(0, users.size, batch):
         chunk = users[s:s + batch]
         n = chunk.size
         if n < batch:
             chunk = np.concatenate([chunk, np.zeros(batch - n, np.int64)])
-        yield jnp.asarray(chunk, jnp.int32), n
+        yield jnp.asarray(chunk, jnp.int32), chunk, n
 
 
 def rejection_rounds(max_degree: int, num_items: int) -> int:
@@ -164,14 +163,16 @@ def _full_metrics_from_topk(topk_items, users, test_csr: DeviceCSR, item_pop,
 
 @functools.partial(jax.jit, static_argnames=("Ks", "extended", "total_train",
                                               "num_items"))
-def _full_batch(user_emb, item_emb, users, train_padded_rows,
+def _full_batch(user_emb, item_emb, users, excl_rows,
                 test_csr: DeviceCSR, item_pop, Ks: tuple, extended: bool,
                 total_train: int, num_items: int):
+    """``excl_rows``: (B, Pb) per-batch train-item rows (pad = num_items) —
+    retraced per power-of-two Pb, never materializing the (U, Pmax) table."""
     scores = user_emb[users] @ item_emb.T                       # (B, I)
     pad = jnp.zeros((scores.shape[0], 1), scores.dtype)
     ext = jnp.concatenate([scores, pad], axis=1)
     rows = jnp.arange(scores.shape[0])[:, None]
-    ext = ext.at[rows, train_padded_rows[users]].set(-1e9)
+    ext = ext.at[rows, excl_rows].set(-1e9)
     scores = ext[:, :-1]
     _, topk_items = jax.lax.top_k(scores, max(Ks))
     return _full_metrics_from_topk(topk_items, users, test_csr, item_pop,
@@ -269,7 +270,7 @@ def evaluate_sampled(key: jax.Array, user_emb: jax.Array, item_emb: jax.Array,
     max_deg = int(max(ctx.graph.user_csr("train").degrees().max(initial=1),
                       ctx.graph.user_csr(split).degrees().max(initial=1)))
     rounds = rejection_rounds(max_deg, ctx.graph.num_items)
-    for bu, n_valid in _batched(users, batch):
+    for bu, _, n_valid in _batched(users, batch):
         key, kb = jax.random.split(key)
         per_user, ranked, logpop, selfinfo = _sampled_batch(
             kb, user_emb, item_emb, bu, eval_csr, ctx.train_csr,
@@ -297,18 +298,19 @@ def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
         raise RuntimeError(f"No users with {split} interactions.")
     eval_csr = ctx.split_csr(split)
     acc = _Accumulator(Ks, extended)
-    for bu, n_valid in _batched(users, batch):
+    for bu, bu_host, n_valid in _batched(users, batch):
+        excl = jnp.asarray(ctx.train_exclusion_rows(bu_host))
         if mesh is not None:
             from .retrieval import topk_for_users
             _, topk_items = topk_for_users(
                 user_emb, item_emb, bu, max(Ks),
-                exclude_rows=ctx.train_padded_rows, mesh=mesh)
+                exclude_batch_rows=excl, mesh=mesh)
             per_user, topk_items, logpop, selfinfo = _full_metrics_from_topk(
                 topk_items, bu, eval_csr, ctx.item_pop_dev, tuple(Ks),
                 extended, ctx.total_train, ctx.graph.num_items)
         else:
             per_user, topk_items, logpop, selfinfo = _full_batch(
-                user_emb, item_emb, bu, ctx.train_padded_rows, eval_csr,
+                user_emb, item_emb, bu, excl, eval_csr,
                 ctx.item_pop_dev, tuple(Ks), extended, ctx.total_train,
                 ctx.graph.num_items)
         acc.add(per_user, n_valid, topk_items if extended else None, logpop,

@@ -41,6 +41,40 @@ def test_topk_mesh_matches_single(small_graph, rng):
         assert set(np.asarray(i1[b]).tolist()) == set(np.asarray(i2[b]).tolist())
 
 
+def test_exclusion_rows_for_users_matches_global_table(small_graph, rng):
+    """Per-batch (B, Pb) rows carry the same item sets as the gathered
+    global (U, Pmax) table (padding width differs; contents must not)."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.eval.retrieval import (
+        exclusion_rows_for_users)
+    table = build_exclusion_rows(small_graph, "train")
+    users = rng.integers(0, small_graph.num_users, 33)
+    batch = exclusion_rows_for_users(small_graph, users)
+    # power-of-two width, bounded by the batch's own max degree
+    assert batch.shape[1] & (batch.shape[1] - 1) == 0
+    pad = small_graph.num_items
+    for b, u in enumerate(users):
+        assert (set(batch[b].tolist()) - {pad}
+                == set(table[int(u)].tolist()) - {pad})
+
+
+def test_topk_exclude_batch_rows_equals_table(small_graph, rng):
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.eval.retrieval import (
+        exclusion_rows_for_users)
+    U, I, D = small_graph.num_users, small_graph.num_items, 8
+    user_emb = jnp.asarray(rng.normal(size=(U, D)).astype(np.float32))
+    item_emb = jnp.asarray(rng.normal(size=(I, D)).astype(np.float32))
+    users = jnp.arange(20, dtype=jnp.int32)
+    excl_t = jnp.asarray(build_exclusion_rows(small_graph, "train"))
+    excl_b = jnp.asarray(exclusion_rows_for_users(small_graph,
+                                                  np.arange(20)))
+    s1, i1 = topk_for_users(user_emb, item_emb, users, 10,
+                            exclude_rows=excl_t)
+    s2, i2 = topk_for_users(user_emb, item_emb, users, 10,
+                            exclude_batch_rows=excl_b)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
 def test_fast_hash_split_proportions():
     from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
         synthetic_bipartite_graph)
