@@ -120,7 +120,14 @@ def cmd_evaluate(args):
     if args.cred:
         cfg = cfg.replace(cred_csv_path=args.cred)
     graph = BipartiteGraph.load_npz(args.graph)
-    trainer = RecTrainer(cfg, graph)
+    mesh = None
+    if args.mesh:
+        import jax
+        from ..parallel.mesh import make_mesh
+        n = len(jax.devices()) if args.mesh == "all" else int(args.mesh)
+        mesh = make_mesh(n)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    trainer = RecTrainer(cfg, graph, mesh=mesh)
     params = load_params_npz(args.params)
     res = trainer.evaluate(params, args.split)
     print(format_metrics_block(args.split.upper(), res))
@@ -173,6 +180,8 @@ def build_parser():
     p.add_argument("--preset", default="vanilla")
     p.add_argument("--cred", default=None)
     p.add_argument("--split", default="test")
+    p.add_argument("--mesh", default=None,
+                   help="'all' or device count: distributed evaluation")
     _add_overrides(p)
     p.set_defaults(fn=cmd_evaluate)
     return ap

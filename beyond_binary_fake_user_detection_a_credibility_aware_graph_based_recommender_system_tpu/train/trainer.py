@@ -357,6 +357,14 @@ class RecTrainer:
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
 
+        # SURVEY §5: the structured JSONL stream and the human lines share
+        # the product path — `train-rec --out D` leaves D/metrics.jsonl
+        metric_log = None
+        if cfg.out_dir:
+            from ..eval.report import MetricLogger
+            metric_log = MetricLogger(f"{cfg.out_dir}/metrics.jsonl",
+                                      echo=False)
+
         selK = max(cfg.Ks)
         history = []
         for epoch in range(start_epoch, epochs + 1):
@@ -381,6 +389,13 @@ class RecTrainer:
                     if cfg.out_dir and cfg.save_best:
                         save_params_npz(f"{cfg.out_dir}/best_model.npz",
                                         self._trim(best_params))
+            if metric_log is not None:
+                rec = {"event": "epoch", "epoch": epoch, "loss": loss,
+                       "seconds": dt}
+                if entry.val is not None:
+                    rec["val"] = {str(K): v for K, v in entry.val.items()}
+                    rec["best_val"] = best_val
+                metric_log.log(rec)
             history.append(entry)
 
             if checkpointer is not None:
@@ -393,6 +408,10 @@ class RecTrainer:
             checkpointer.wait()
         test_res = self.evaluate(best_params, "test")
         self._log("\nTEST " + format_metrics_block("TEST", test_res)[5:])
+        if metric_log is not None:
+            metric_log.log({"event": "test", "best_val": best_val,
+                            "test": {str(K): v for K, v in test_res.items()}})
+            metric_log.close()
         # external contract: exact-row tables (mesh padding is internal)
         return FitResult(best_params=self._trim(best_params),
                          best_val_recall=best_val,

@@ -103,6 +103,23 @@ def test_determinism_same_seed(train_graph):
         np.asarray(list(r2.best_params.values())[0]), atol=1e-6)
 
 
+def test_fit_writes_metrics_jsonl(train_graph, tmp_path):
+    """SURVEY §5 / VERDICT r2 weak-6: fit() with out_dir set leaves a
+    machine-readable metrics.jsonl alongside the human lines."""
+    import json
+    tr = _mk(get_preset("vanilla"), train_graph,
+             out_dir=str(tmp_path), save_best=False)
+    tr.fit(epochs=3)
+    lines = [json.loads(ln) for ln in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    epochs = [r for r in lines if r["event"] == "epoch"]
+    tests = [r for r in lines if r["event"] == "test"]
+    assert len(epochs) == 3 and len(tests) == 1
+    assert all("loss" in r and "seconds" in r for r in epochs)
+    assert "val" in epochs[-1] and "recall" in epochs[-1]["val"]["10"]
+    assert "recall" in tests[0]["test"]["10"]
+
+
 def test_checkpoint_resume(train_graph, tmp_path):
     from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.checkpoint import (
         TrainCheckpointer)
