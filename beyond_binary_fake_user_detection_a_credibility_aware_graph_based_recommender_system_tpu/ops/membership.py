@@ -106,6 +106,13 @@ class HashMembership:
             table[b[order], SLOTS + slot] = cols[order].astype(np.int32)
         return cls(buckets=jnp.asarray(table), nbuckets=nb)
 
+    # Max candidates per slab gather: the (N, 2*SLOTS) int32 transient is
+    # ~128 B/candidate, so one chunk tops out at ~512 MB; larger batches
+    # (epoch-hoisted sampling at huge user counts: N = n_pad*(rounds+1))
+    # stream through lax.map chunks instead of materializing a multi-GB
+    # gather.  Static shapes => the split is decided at trace time.
+    _CHUNK = 1 << 22
+
     def contains(self, rows: jax.Array, cols: jax.Array) -> jax.Array:
         """Elementwise membership; ``rows`` and ``cols`` broadcast against
         each other (numpy rules)."""
@@ -114,11 +121,25 @@ class HashMembership:
         cols = jnp.broadcast_to(cols, shape)
         r = rows.reshape(-1).astype(jnp.int32)
         c = cols.reshape(-1).astype(jnp.int32)
-        b = (_mix_jnp(r, c) & jnp.uint32(self.nbuckets - 1)).astype(jnp.int32)
-        slab = self.buckets[b]                       # (N, 2*SLOTS) one gather
-        hit = (slab[:, :SLOTS] == r[:, None]) & (
-            slab[:, SLOTS:] == c[:, None])
-        return jnp.any(hit, axis=-1).reshape(shape)
+
+        def probe(rc):
+            r, c = rc
+            b = (_mix_jnp(r, c)
+                 & jnp.uint32(self.nbuckets - 1)).astype(jnp.int32)
+            slab = self.buckets[b]               # (n, 2*SLOTS) one gather
+            hit = (slab[:, :SLOTS] == r[:, None]) & (
+                slab[:, SLOTS:] == c[:, None])
+            return jnp.any(hit, axis=-1)
+
+        n = r.shape[0]
+        if n <= self._CHUNK:
+            return probe((r, c)).reshape(shape)
+        k = -(-n // self._CHUNK)
+        pad = k * self._CHUNK - n
+        rp = jnp.pad(r, (0, pad)).reshape(k, self._CHUNK)
+        cp = jnp.pad(c, (0, pad)).reshape(k, self._CHUNK)
+        out = jax.lax.map(probe, (rp, cp)).reshape(-1)[:n]
+        return out.reshape(shape)
 
 
 jax.tree_util.register_dataclass(

@@ -195,10 +195,11 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
                               window: int | str = "auto") -> PallasSegmentPlan:
     """Host-side planning. ``src``/``dst``/``w`` must already be dst-sorted.
 
-    ``window``: 0 disables the window kernel; an int W forces it; "auto"
-    picks W from the mean destination degree and keeps it only if its
-    padded edge count does not exceed the plain plan's (the kernel is
-    gather-traffic bound; extra padding costs more than narrow one-hots
+    ``window``: 0 disables the window kernel; an int W forces it (must be
+    0 < W < block_rows, both divisible by 8); "auto" picks W from the mean
+    destination degree and keeps it only while its padded edge count stays
+    within 2% of the plain plan's (the kernel is gather-traffic bound;
+    beyond that slack the extra padding costs more than narrow one-hots
     save).
     """
     R, T = int(block_rows), int(chunk_edges)
@@ -225,6 +226,14 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
             W = next((c for c in (64, 128, 256) if c >= need and c < R), 0)
         else:
             W = int(window)
+            # a forced window must satisfy the kernel's alignment contract
+            # up-front: win_start is promised multiple-of-8 (pl.multiple_of
+            # below) and clamped to R - W, so W >= R or misaligned W/R would
+            # miscompile to wrong results on TPU rather than raise.
+            if not (0 < W < R and W % 8 == 0 and R % 8 == 0):
+                raise ValueError(
+                    f"window={W} invalid: need 0 < W < block_rows={R} and "
+                    f"both divisible by 8 (win_start alignment promise)")
         if W:
             cand = _build_window(src, dst, w, num_dst, num_blocks, R, T, W)
             if window != "auto" or cand[0].shape[0] <= 1.02 * plain[0].shape[0]:
