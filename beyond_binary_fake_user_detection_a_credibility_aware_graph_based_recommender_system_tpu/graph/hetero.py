@@ -139,3 +139,37 @@ def build_heterograph(table: InteractionTable,
         feature_keys=feature_keys,
         user_ids=list(table.user_ids),
     )
+
+
+def synthetic_heterograph(num_users: int = 100, num_items: int = 60,
+                          num_edges: int = 800, seed: int = 0,
+                          labeled_frac: float = 0.5) -> HeteroGraph:
+    """Small random heterograph for tests / dry runs: 7 user features, the
+    5 reference edge attrs (some NaN timestamps, like the real pipeline),
+    and a partially-labeled user_y in {-1, 0, 1}."""
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, num_users, num_edges).astype(np.int32)
+    i = rng.integers(0, num_items, num_edges).astype(np.int32)
+    rating = rng.integers(1, 6, num_edges).astype(np.float32)
+    ts = rng.random(num_edges).astype(np.float32)
+    ts[rng.random(num_edges) < 0.1] = np.nan
+    attr = np.stack([
+        (rng.random(num_edges) < 0.7).astype(np.float32),      # verified
+        1.0 - np.abs(rating - 3.5) / 4.0,                      # rating_align
+        rating,
+        ts,                                                    # timestamp_norm
+        rng.integers(0, 10, num_edges).astype(np.float32),     # helpful_vote
+    ], axis=1).astype(np.float32)
+    user_y = np.full(num_users, -1, np.int64)
+    lab = rng.random(num_users) < labeled_frac
+    user_y[lab] = rng.integers(0, 2, int(lab.sum()))
+    return HeteroGraph(
+        user_x=rng.normal(size=(num_users, 7)).astype(np.float32),
+        user_y=user_y,
+        item_x=np.stack([rng.uniform(1, 5, num_items),
+                         rng.integers(1, 30, num_items)],
+                        axis=1).astype(np.float32),
+        edges=np.stack([u, i]),
+        edge_attr=attr,
+        feature_keys=list(CRED_GRAPH_FEATURE_KEYS),
+        user_ids=[f"u{k}" for k in range(num_users)])

@@ -83,8 +83,8 @@ def temporal_edge_mask(edge_attr: np.ndarray, view: Optional[str],
 class CredView:
     """Precomputed operators for one temporal view: parameter-independent
     normalized EWA weights baked into two SpMM directions."""
-    item_from_user: SpmmOperator      # aggregates h_u0 -> items
-    user_from_item: SpmmOperator      # aggregates h_i1 -> users
+    item_from_user: object            # aggregates h_u0 -> items
+    user_from_item: object            # aggregates h_i1 -> users
     w_u2i_norm: jax.Array             # (E,) normalized weights (smoothness)
     src: jax.Array                    # (E,) user idx per edge
     dst: jax.Array                    # (E,) item idx per edge
@@ -93,17 +93,20 @@ class CredView:
     def state(self):
         """Pytree of the two operators' state pairs plus the edge arrays the
         smoothness term reads — thread through jit as an argument (closure
-        capture inlines E-sized constants)."""
-        return {"ifu": self.item_from_user.state,
-                "ufi": self.user_from_item.state,
+        capture inlines E-sized constants).  Mesh-sharded operators carry no
+        exportable state (None), mirroring models/lightgcn.py."""
+        return {"ifu": getattr(self.item_from_user, "state", None),
+                "ufi": getattr(self.user_from_item, "state", None),
                 "w_u2i_norm": self.w_u2i_norm,
                 "src": self.src, "dst": self.dst}
 
 
 def build_cred_view(hg: HeteroGraph, cfg: CredConfig, view: Optional[str],
-                    backend: str = "auto") -> CredView:
+                    backend: str = "auto",
+                    operator_factory=None) -> CredView:
     """normalize_per_dst over the view's edges only (masked weights), both
-    directions (main.py:680-688)."""
+    directions (main.py:680-688).  ``operator_factory(edge_map)`` swaps in
+    mesh-sharded operators (parallel/sharded_spmm.ShardedSpmmOperator)."""
     E = hg.num_edges
     u = hg.edges[0].astype(np.int64)
     i = hg.edges[1].astype(np.int64)
@@ -118,13 +121,17 @@ def build_cred_view(hg: HeteroGraph, cfg: CredConfig, view: Optional[str],
     np.add.at(denom_u, u, w)
     w_i2u = (w / (denom_u[u] + 1e-12)).astype(np.float32)
 
+    if operator_factory is None:
+        def operator_factory(em):
+            return SpmmOperator(em, backend=backend)
+
     return CredView(
-        item_from_user=SpmmOperator(EdgeMap(
+        item_from_user=operator_factory(EdgeMap(
             src=u.astype(np.int32), dst=i.astype(np.int32), w=w_u2i,
-            num_src=hg.num_users, num_dst=hg.num_items), backend=backend),
-        user_from_item=SpmmOperator(EdgeMap(
+            num_src=hg.num_users, num_dst=hg.num_items)),
+        user_from_item=operator_factory(EdgeMap(
             src=i.astype(np.int32), dst=u.astype(np.int32), w=w_i2u,
-            num_src=hg.num_items, num_dst=hg.num_users), backend=backend),
+            num_src=hg.num_items, num_dst=hg.num_users)),
         w_u2i_norm=jnp.asarray(w_u2i),
         src=jnp.asarray(u, jnp.int32),
         dst=jnp.asarray(i, jnp.int32),
@@ -135,7 +142,7 @@ class CredModel:
     """Full-graph CredModel over precomputed temporal views."""
 
     def __init__(self, hg: HeteroGraph, cfg: Optional[CredConfig] = None,
-                 backend: str = "auto"):
+                 backend: str = "auto", operator_factory=None):
         self.cfg = cfg or CredConfig()
         self.hg = hg
         # NaN features would poison the dense projections; the reference's
@@ -143,7 +150,7 @@ class CredModel:
         self.user_x = jnp.asarray(np.nan_to_num(hg.user_x, nan=0.0))
         self.item_x = jnp.asarray(np.nan_to_num(hg.item_x, nan=0.0))
         self.views = {
-            v: build_cred_view(hg, self.cfg, v, backend)
+            v: build_cred_view(hg, self.cfg, v, backend, operator_factory)
             for v in (None, "early", "late")
         }
 
@@ -157,6 +164,15 @@ class CredModel:
         return {("all" if v is None else v): self.views[v].state
                 for v in self.views}
 
+    @staticmethod
+    def _apply(op, pair, x):
+        """State-threaded apply for single-chip operators; direct call for
+        mesh-sharded ones (state None) — same split as models/lightgcn.py."""
+        if pair is not None:
+            from ..ops.spmm import spmm_apply
+            return spmm_apply(pair[0], pair[1], x)
+        return op(x)
+
     def forward(self, params: Params, view: Optional[str],
                 state=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """(cred (U,), h_u2 (U,H), h_i1 (I,H)) — mirrors
@@ -164,18 +180,17 @@ class CredModel:
         view's normalized weights/edges are in ``self.views[view]``;
         ``state`` (from :attr:`state`) supplies the operator arrays through
         jit arguments."""
-        from ..ops.spmm import spmm_apply
         v = self.views[view]
         vstate = (state or self.state)["all" if view is None else view]
         h_u0 = self.user_x @ params["user_proj_w"] + params["user_proj_b"]
         h_i0 = self.item_x @ params["item_proj_w"] + params["item_proj_b"]
 
-        m_i = spmm_apply(vstate["ifu"][0], vstate["ifu"][1], h_u0)
+        m_i = self._apply(v.item_from_user, vstate["ifu"], h_u0)
         h_i1 = jax.nn.relu(
             jnp.concatenate([h_i0, m_i], axis=-1) @ params["item_upd_w"]
             + params["item_upd_b"])
 
-        m_u = spmm_apply(vstate["ufi"][0], vstate["ufi"][1], h_i1)
+        m_u = self._apply(v.user_from_item, vstate["ufi"], h_i1)
         h_u2 = jax.nn.relu(
             jnp.concatenate([h_u0, m_u], axis=-1) @ params["user_upd_w"]
             + params["user_upd_b"])

@@ -54,11 +54,22 @@ class CredFitResult:
 
 class CredTrainer:
     def __init__(self, hg: HeteroGraph, cfg: Optional[CredConfig] = None,
-                 backend: str = "auto", verbose: bool = True):
+                 backend: str = "auto", verbose: bool = True,
+                 operator_factory=None, mesh=None):
+        """``mesh``: a (data, model) ``jax.sharding.Mesh`` — Stage-A forward
+        then runs through edge-sharded operators (C14's sharded-inference
+        target), same wiring as the Stage-B ``RecTrainer``."""
         self.cfg = cfg or CredConfig()
         self.hg = hg
         self.verbose = verbose
-        self.model = CredModel(hg, self.cfg, backend=backend)
+        self.mesh = mesh
+        if mesh is not None and operator_factory is None:
+            import functools
+            from ..parallel.sharded_spmm import ShardedSpmmOperator
+            operator_factory = functools.partial(ShardedSpmmOperator,
+                                                 mesh=mesh)
+        self.model = CredModel(hg, self.cfg, backend=backend,
+                               operator_factory=operator_factory)
         self.slas_data = None
         if self.cfg.trainer_mode == "slas":
             from ..models.cred_slas import build_slas_graph_data
@@ -73,9 +84,13 @@ class CredTrainer:
         rng.shuffle(labeled)
         split = int(0.8 * labeled.size)
         self.train_users = np.sort(labeled[:split])
+        # The reference computes this 20% split and never evaluates it
+        # (main.py:886-893); here the holdout is monitored per epoch
+        # (BCE + AUC) so overfitting is visible.
         self.holdout_users = np.sort(labeled[split:])
         self._log(f"[CRED] labeled users={labeled.size:,} | "
-                  f"train={self.train_users.size:,}")
+                  f"train={self.train_users.size:,} | "
+                  f"holdout={self.holdout_users.size:,}")
 
         self.user_y = jnp.asarray(hg.user_y)
         self._epoch_fn = None
@@ -176,26 +191,83 @@ class CredTrainer:
         return jax.jit(epoch_fn, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
-    def fit(self, epochs: Optional[int] = None) -> CredFitResult:
+    def holdout_metrics(self, params: Params) -> Dict[str, float]:
+        """BCE + AUC on the 20% labeled holdout (early view, like the
+        supervised term) — the monitoring the reference's unused split
+        never got."""
+        if self.holdout_users.size == 0:
+            return {"bce": float("nan"), "auc": float("nan")}
+        if self.cfg.trainer_mode == "slas":
+            from ..models.cred_slas import slas_forward
+            pred, _, _, _ = jax.jit(slas_forward, static_argnums=(4, 5, 6))(
+                params, self.slas_data,
+                jnp.asarray(self.holdout_users, jnp.int32),
+                jax.random.PRNGKey(self.cfg.seed + 77), "early",
+                self.cfg.k_item_neigh, self.cfg.k_user_neigh)
+            scores = np.asarray(pred)
+        else:
+            pred, _, _ = jax.jit(self.model.forward, static_argnums=(1,))(
+                params, "early", self.model.state)
+            scores = np.asarray(pred)[self.holdout_users]
+        y = np.asarray(self.hg.user_y)[self.holdout_users].astype(np.float64)
+        s = np.clip(scores.astype(np.float64), 1e-7, 1 - 1e-7)
+        bce = float(-np.mean(y * np.log(s) + (1 - y) * np.log(1 - s)))
+        n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+        if n_pos == 0 or n_neg == 0:
+            return {"bce": bce, "auc": float("nan")}
+        # Mann-Whitney U with midranks for ties
+        _, inv, cnt = np.unique(s, return_inverse=True, return_counts=True)
+        csum = np.concatenate([[0], np.cumsum(cnt)])
+        ranks = (csum[inv] + csum[inv + 1] + 1) / 2.0
+        auc = (ranks[y > 0.5].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+        return {"bce": bce, "auc": float(auc)}
+
+    def fit(self, epochs: Optional[int] = None, checkpointer=None,
+            resume: bool = False) -> CredFitResult:
+        """``checkpointer``: a train.checkpoint.TrainCheckpointer — async
+        Orbax full-state (params+opt+epoch+key), resume with ``resume=True``
+        (same contract as RecTrainer.fit)."""
         cfg = self.cfg
         epochs = cfg.epochs if epochs is None else epochs
         key = jax.random.PRNGKey(cfg.seed)
         key, kinit = jax.random.split(key)
         params = self.model.init(kinit)
         opt_state = self.optimizer.init(params)
+        start_epoch = 1
+
+        if checkpointer is not None and resume:
+            state = checkpointer.restore(template={
+                "params": params, "opt_state": opt_state, "key": key,
+                "epoch": 0})
+            if state is not None:
+                params = state["params"]
+                opt_state = state["opt_state"]
+                key = state["key"]
+                start_epoch = int(state["epoch"]) + 1
+                self._log(f"[CRED] resumed at epoch {start_epoch}")
 
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
 
         history = []
-        for ep in range(1, epochs + 1):
+        for ep in range(start_epoch, epochs + 1):
             t0 = time.perf_counter()
             params, opt_state, key, loss = self._epoch_fn(
                 params, opt_state, key, self.model.state)
             loss = float(loss)
+            hm = self.holdout_metrics(params)
             history.append({"epoch": ep, "loss": loss,
+                            "holdout_bce": hm["bce"],
+                            "holdout_auc": hm["auc"],
                             "seconds": time.perf_counter() - t0})
-            self._log(f"[CRED] Epoch {ep:02d} | loss={loss:.4f}")
+            self._log(f"[CRED] Epoch {ep:02d} | loss={loss:.4f} | "
+                      f"holdout BCE={hm['bce']:.4f} AUC={hm['auc']:.4f}")
+            if checkpointer is not None:
+                checkpointer.save(ep, {"params": params,
+                                       "opt_state": opt_state,
+                                       "key": key, "epoch": ep})
+        if checkpointer is not None:
+            checkpointer.wait()
 
         cred_raw = np.asarray(self.infer(params))
         cmin, cmax = float(cred_raw.min()), float(cred_raw.max())

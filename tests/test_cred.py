@@ -244,3 +244,62 @@ def test_v1_graph_feature_parity_flag():
 
     with pytest.raises(ValueError):
         build_heterograph(table, feats, graph_feature_set="bogus")
+
+
+def test_cred_trainer_checkpoint_resume(hg, tmp_path):
+    """VERDICT r3 item 8: Stage-A full-state checkpoint/resume — an
+    interrupted 6-epoch run resumed from epoch 3 matches the uninterrupted
+    run's final loss."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.checkpoint import (
+        TrainCheckpointer)
+    cfg = CredConfig(hidden_dim=16, epochs=6, batch_size=32, lr=1e-2)
+
+    full = CredTrainer(hg, cfg, verbose=False)
+    res_full = full.fit()
+
+    tr1 = CredTrainer(hg, cfg, verbose=False)
+    tr1.fit(epochs=3, checkpointer=TrainCheckpointer(tmp_path / "ck"))
+    tr2 = CredTrainer(hg, cfg, verbose=False)
+    res2 = tr2.fit(epochs=6, checkpointer=TrainCheckpointer(tmp_path / "ck"),
+                   resume=True)
+    assert res2.history[0]["epoch"] == 4  # actually resumed
+    assert abs(res2.history[-1]["loss"]
+               - res_full.history[-1]["loss"]) < 1e-4
+
+
+def test_cred_trainer_holdout_metrics(hg):
+    cfg = CredConfig(hidden_dim=16, epochs=8, batch_size=32, lr=1e-2)
+    tr = CredTrainer(hg, cfg, verbose=False)
+    assert tr.holdout_users.size > 0
+    res = tr.fit()
+    h0, h1 = res.history[0], res.history[-1]
+    assert np.isfinite(h1["holdout_bce"])
+    # with a learnable synthetic label rule the holdout AUC should beat
+    # chance by the end (or at least not degrade into anti-signal)
+    if np.isfinite(h1["holdout_auc"]):
+        assert h1["holdout_auc"] > 0.5
+
+
+def test_cred_model_sharded_forward_matches_single(hg):
+    """VERDICT r3 item 8: CredModel through mesh-sharded operators (the
+    C14 sharded-inference target) matches the single-chip forward."""
+    import functools
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.mesh import (
+        make_mesh)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.parallel.sharded_spmm import (
+        ShardedSpmmOperator)
+    cfg = CredConfig(hidden_dim=16)
+    single = cm.CredModel(hg, cfg)
+    mesh = make_mesh(8, shape=(2, 4))
+    sharded = cm.CredModel(hg, cfg, operator_factory=functools.partial(
+        ShardedSpmmOperator, mesh=mesh))
+    params = single.init(jax.random.PRNGKey(2))
+    for view in (None, "early", "late"):
+        c1, u1, i1 = jax.jit(single.forward, static_argnums=(1,))(
+            params, view, single.state)
+        c2, u2, i2 = jax.jit(sharded.forward, static_argnums=(1,))(
+            params, view, sharded.state)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   rtol=1e-4, atol=1e-5)
