@@ -65,7 +65,8 @@ def make_epoch(graph, backend: str, emb_dim: int, num_layers: int,
     from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
         RecConfig)
 
-    wm = {"gauss_seidel": "cu_message", "symmetric": "symmetric"}[propagation]
+    wm = {"gauss_seidel": "cu_message", "symmetric": "symmetric",
+          "bipartite_sync": "cred_eq322"}[propagation]
     cfg = RecConfig(name="bench", propagation=propagation, weight_mode=wm,
                     table_layout="split" if propagation != "symmetric"
                     else "joint",
@@ -116,7 +117,8 @@ def make_step(graph, backend: str, emb_dim: int, num_layers: int,
     from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
         RecConfig)
 
-    wm = {"gauss_seidel": "cu_message", "symmetric": "symmetric"}[propagation]
+    wm = {"gauss_seidel": "cu_message", "symmetric": "symmetric",
+          "bipartite_sync": "cred_eq322"}[propagation]
     cfg = RecConfig(name="bench", propagation=propagation, weight_mode=wm,
                     table_layout="split" if propagation != "symmetric"
                     else "joint",
@@ -204,7 +206,7 @@ def main():
     # arithmetic.  --precision fp32 benches the parity-default mode.
     ap.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
     ap.add_argument("--propagation", default="gauss_seidel",
-                    choices=["gauss_seidel", "symmetric"])
+                    choices=["gauss_seidel", "symmetric", "bipartite_sync"])
     ap.add_argument("--mode", default="epoch", choices=["epoch", "step"],
                     help="epoch: time the real RecTrainer scanned epoch "
                     "(amortized per-step; the headline). step: one isolated "
