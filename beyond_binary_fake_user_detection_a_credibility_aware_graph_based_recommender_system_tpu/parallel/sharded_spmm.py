@@ -162,6 +162,7 @@ class _DirPlan:
     e_max: int
     h_max: int
     pad_fraction: float
+    edge_counts: tuple     # per-device real (unpadded) edge counts
 
 
 def _plan_dir(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
@@ -229,7 +230,8 @@ def _plan_dir(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     return _DirPlan(
         src_ref=put(src_ref), dst_local=put(dst_loc), w=put(w_p),
         send_idx=put(send_idx) if send_idx is not None else None,
-        e_max=e_max, h_max=h_max, pad_fraction=pad_fraction)
+        e_max=e_max, h_max=h_max, pad_fraction=pad_fraction,
+        edge_counts=tuple(int(c) for c in counts))
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +290,26 @@ class ShardedSpmmOperator:
         if verbose:
             print(f"[sharded-spmm] mode={mode} e_max={self._fwd.e_max} "
                   f"pad={self.pad_fraction:.1%} {self._volume_note}")
+
+        n_real = int(sum(self._fwd.edge_counts))
+        self.stats = {
+            "mode": mode, "n_devices": int(n_dev),
+            "num_src": self.num_src, "num_dst": self.num_dst,
+            "num_edges": n_real,
+            "src_padded_rows": src_layout.padded_rows,
+            "dst_padded_rows": dst_layout.padded_rows,
+            "fwd": {"edge_counts": list(self._fwd.edge_counts),
+                    "e_max": self._fwd.e_max,
+                    "pad_fraction": self._fwd.pad_fraction,
+                    "h_max": self._fwd.h_max},
+            "bwd": {"edge_counts": list(self._bwd.edge_counts),
+                    "e_max": self._bwd.e_max,
+                    "pad_fraction": self._bwd.pad_fraction,
+                    "h_max": self._bwd.h_max},
+            # per-application collective volume in row-slots of width D
+            "halo_rows": int(n_dev * n_dev * self._fwd.h_max),
+            "allgather_rows": int((n_dev - 1) * src_layout.padded_rows),
+        }
 
         fwd_apply = self._make_apply(self._fwd, src_layout, dst_layout)
         bwd_apply = self._make_apply(self._bwd, dst_layout, src_layout)

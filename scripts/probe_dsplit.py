@@ -104,7 +104,9 @@ def main():
     for n_splits, label in ((1, "A full-width"), (2, "B 2x32-col"),
                             (4, "C 4x16-col")):
         step = make_step(n_splits)
-        p, o = params, opt_state
+        # fresh copies: the jitted step donates its inputs
+        p = jax.tree.map(jnp.copy, params)
+        o = jax.tree.map(jnp.copy, opt_state)
         for t in range(3):
             p, o, loss = step(p, o, float(t))
         jax.block_until_ready(loss)
