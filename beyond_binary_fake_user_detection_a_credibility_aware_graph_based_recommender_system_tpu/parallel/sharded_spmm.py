@@ -248,11 +248,17 @@ class ShardedSpmmOperator:
 
     padded_chain = True
 
-    def __init__(self, edge_map: EdgeMap, mesh: Mesh, mode: str = "halo",
+    def __init__(self, edge_map: EdgeMap, mesh: Mesh, mode: str = "auto",
                  src_layout: SpanLayout | None = None,
                  dst_layout: SpanLayout | None = None,
                  verbose: bool = False):
-        assert mode in ("halo", "allgather"), mode
+        """``mode``: "halo" (all-to-all of needed rows), "allgather", or
+        "auto" — pick per DIRECTION by comparing the halo's P*P*h_max
+        row-slot volume against the all-gather's (P-1)*padded_rows (zipf
+        head nodes are needed by every span, so the halo can exceed a
+        plain all-gather on that direction while winning 2-3x on the
+        other; see runs/sharding_report.json for the 10M-edge numbers)."""
+        assert mode in ("halo", "allgather", "auto"), mode
         self.mesh = mesh
         self.mode = mode
         self.num_src = edge_map.num_src
@@ -270,30 +276,38 @@ class ShardedSpmmOperator:
         self.src_layout = src_layout
         self.dst_layout = dst_layout
 
-        self._fwd = _plan_dir(edge_map.src, edge_map.dst, edge_map.w,
-                              src_layout, dst_layout, mesh, mode)
-        self._bwd = _plan_dir(edge_map.dst, edge_map.src, edge_map.w,
-                              dst_layout, src_layout, mesh, mode)
+        def plan_one(src, dst, w, sl, dl):
+            if mode != "auto":
+                return _plan_dir(src, dst, w, sl, dl, mesh, mode), mode
+            p = _plan_dir(src, dst, w, sl, dl, mesh, "halo")
+            if n_dev * n_dev * p.h_max <= (n_dev - 1) * sl.padded_rows:
+                return p, "halo"
+            return _plan_dir(src, dst, w, sl, dl, mesh, "allgather"), \
+                "allgather"
+
+        self._fwd, self._fwd_mode = plan_one(
+            edge_map.src, edge_map.dst, edge_map.w, src_layout, dst_layout)
+        self._bwd, self._bwd_mode = plan_one(
+            edge_map.dst, edge_map.src, edge_map.w, dst_layout, src_layout)
         self.pad_fraction = self._fwd.pad_fraction
 
-        D_note = "D"  # per-application volume, in rows of width D
-        if mode == "halo":
-            self.collective_rows = n_dev * n_dev * self._fwd.h_max
-            alt = (n_dev - 1) * src_layout.padded_rows
-            self._volume_note = (
-                f"halo all-to-all ~{self.collective_rows} row-slots x {D_note}"
-                f" vs allgather {alt}")
-        else:
-            self.collective_rows = (n_dev - 1) * src_layout.padded_rows
-            self._volume_note = (
-                f"allgather {self.collective_rows} row-slots x {D_note}")
+        def volume(plan, m, sl):
+            return (n_dev * n_dev * plan.h_max if m == "halo"
+                    else (n_dev - 1) * sl.padded_rows)
+
+        self.collective_rows = volume(self._fwd, self._fwd_mode, src_layout)
+        self._volume_note = (
+            f"fwd={self._fwd_mode} {self.collective_rows} row-slots, "
+            f"bwd={self._bwd_mode} "
+            f"{volume(self._bwd, self._bwd_mode, dst_layout)} row-slots")
         if verbose:
             print(f"[sharded-spmm] mode={mode} e_max={self._fwd.e_max} "
                   f"pad={self.pad_fraction:.1%} {self._volume_note}")
 
         n_real = int(sum(self._fwd.edge_counts))
         self.stats = {
-            "mode": mode, "n_devices": int(n_dev),
+            "mode": mode, "fwd_mode": self._fwd_mode,
+            "bwd_mode": self._bwd_mode, "n_devices": int(n_dev),
             "num_src": self.num_src, "num_dst": self.num_dst,
             "num_edges": n_real,
             "src_padded_rows": src_layout.padded_rows,
@@ -311,8 +325,10 @@ class ShardedSpmmOperator:
             "allgather_rows": int((n_dev - 1) * src_layout.padded_rows),
         }
 
-        fwd_apply = self._make_apply(self._fwd, src_layout, dst_layout)
-        bwd_apply = self._make_apply(self._bwd, dst_layout, src_layout)
+        fwd_apply = self._make_apply(self._fwd, src_layout, dst_layout,
+                                     self._fwd_mode)
+        bwd_apply = self._make_apply(self._bwd, dst_layout, src_layout,
+                                     self._bwd_mode)
 
         @jax.custom_vjp
         def _matvec_padded(xp):
@@ -323,10 +339,9 @@ class ShardedSpmmOperator:
         self.apply_padded = _matvec_padded
 
     def _make_apply(self, plan: _DirPlan, src_layout: SpanLayout,
-                    dst_layout: SpanLayout):
+                    dst_layout: SpanLayout, mode: str):
         mesh = self.mesh
         rows_max_dst = dst_layout.rows_max
-        mode = self.mode
         stacked = P(MODEL_AXIS)
         table = P(MODEL_AXIS, None)
 

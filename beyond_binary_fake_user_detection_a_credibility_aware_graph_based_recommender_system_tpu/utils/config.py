@@ -167,7 +167,7 @@ class RecConfig(ConfigBase):
     spmm_precision: str = "fp32"      # "fp32" (parity) | "bf16" (fast mode)
     # mesh-sharded propagation: "halo" = all-to-all of needed rows,
     # "allgather" = replicate the source table (parallel/sharded_spmm.py)
-    sharded_spmm_mode: str = "halo"
+    sharded_spmm_mode: str = "auto"
     # sampler membership test: "hash" = exact bucketized hash table, one
     # slab gather per candidate (ops/membership.py); "bsearch" = CSR
     # binary search (table-free).  Bit-identical sampler outputs.
