@@ -200,6 +200,11 @@ def cmd_report(args):
                       f"{'REPRODUCED (real cred underperforms)' if ok else 'NOT reproduced'}"]
     lines += ["", "Raw run records: `runs/parity/oracle.jsonl`, "
               "`runs/parity/framework.jsonl`."]
+    stage_a = Path("runs/cred_parity/stage_a.md")
+    if stage_a.exists():
+        lines += ["", stage_a.read_text().rstrip(),
+                  "", "Raw Stage-A artifacts: `runs/cred_parity/` "
+                  "(scripts/cred_parity_run.py)."]
     out = Path(args.report_out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text("\n".join(lines) + "\n")
