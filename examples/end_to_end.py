@@ -5,8 +5,11 @@ Runs on CPU in ~2 minutes:
     env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python examples/end_to_end.py
 """
 import json
+import sys
 import tempfile
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
