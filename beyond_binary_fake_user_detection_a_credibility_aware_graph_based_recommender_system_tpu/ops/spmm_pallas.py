@@ -143,47 +143,141 @@ def _build_plain(src, dst, w, num_dst, num_blocks, R, T):
 
 def _build_window(src, dst, w, num_dst, num_blocks, R, T, W):
     """Greedy window chunking: each chunk holds <=T edges whose local row
-    ids fit an 8-aligned W-row window (window start clamped to R-W)."""
+    ids fit an 8-aligned W-row window (window start clamped to R-W).
+
+    Vectorized greedy: the chunk boundaries of EVERY still-open block are
+    computed together, one round per chunk depth (rounds = max chunks per
+    block, ~tens even on power-law hubs), instead of a Python loop over
+    blocks — the loop form cost ~18 s per 7.5M-edge operator direction at
+    the 10M north star, dominating operator construction.  Bit-identical
+    to the sequential greedy (tested against a loop oracle)."""
     blk_of_edge = dst // R
     lid_all = (dst - blk_of_edge * R).astype(np.int64)
     counts = np.bincount(blk_of_edge, minlength=num_blocks)
     edge_start = np.zeros(num_blocks + 1, np.int64)
     np.cumsum(counts, out=edge_start[1:])
+    # globally nondecreasing key: searchsorted respects block boundaries
+    # because ws + W <= R keeps each probe inside its own block's span
+    key_all = blk_of_edge.astype(np.int64) * R + lid_all
 
-    chunks = []  # (block, estart, eend, win_start)
-    for b in range(num_blocks):
-        s, e = int(edge_start[b]), int(edge_start[b + 1])
-        if s == e:
-            chunks.append((b, s, s, 0))
-            continue
-        i = s
-        while i < e:
-            ws = min((int(lid_all[i]) // 8) * 8, R - W)
-            j = int(np.searchsorted(lid_all[s:e], ws + W, side="left")) + s
-            j = min(j, i + T, e)
-            chunks.append((b, i, j, ws))
-            i = j
+    cb, ci, cj, cws, crd = [], [], [], [], []
+    b_ids = np.arange(num_blocks, dtype=np.int64)
+    i_cur = edge_start[:-1].copy()
+    end = edge_start[1:]
+    open_m = i_cur < end
+    rnd = 0
+    while open_m.any():
+        bo = b_ids[open_m]
+        io = i_cur[open_m]
+        ws = np.minimum((lid_all[io] // 8) * 8, R - W)
+        j = np.searchsorted(key_all, bo * R + ws + W, side="left")
+        j = np.minimum(np.minimum(j, io + T), end[open_m])
+        cb.append(bo)
+        ci.append(io)
+        cj.append(j)
+        cws.append(ws)
+        crd.append(np.full(bo.shape[0], rnd, np.int64))
+        i_cur[open_m] = j
+        open_m = i_cur < end
+        rnd += 1
+    empty = b_ids[counts == 0]
+    if empty.size:  # empty blocks still get their zeroing chunk
+        z = edge_start[empty]
+        cb.append(empty)
+        ci.append(z)
+        cj.append(z)
+        cws.append(np.zeros(empty.size, np.int64))
+        crd.append(np.zeros(empty.size, np.int64))
+    cb = np.concatenate(cb)
+    ci = np.concatenate(ci)
+    cj = np.concatenate(cj)
+    cws = np.concatenate(cws)
+    crd = np.concatenate(crd)
+    order = np.lexsort((crd, cb))  # block-major; chunk order within block
+    cb, ci, cj, cws = cb[order], ci[order], cj[order], cws[order]
 
-    G = len(chunks)
+    G = cb.shape[0]
     E_pad = G * T
+    n = cj - ci
     src_p = np.zeros(E_pad, np.int32)
     w_p = np.zeros(E_pad, np.float32)
     lid_p = np.full(E_pad, W, np.int32)
-    block_id = np.zeros(G, np.int32)
-    wstart = np.zeros(G, np.int32)
+    # scatter every chunk's edge run at once: edge r of chunk g lands at
+    # g*T + r and reads global edge ci[g] + r
+    run_start = np.zeros(G, np.int64)
+    np.cumsum(n[:-1], out=run_start[1:])
+    off = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(run_start, n)
+    eidx = np.repeat(ci, n) + off
+    pos = np.repeat(np.arange(G, dtype=np.int64) * T, n) + off
+    src_p[pos] = src[eidx]
+    w_p[pos] = w[eidx]
+    lid_p[pos] = lid_all[eidx] - np.repeat(cws, n)
+
     first = np.zeros(G, np.int32)
-    prev_b = -1
-    for g, (b, i, j, ws) in enumerate(chunks):
-        n = j - i
-        src_p[g * T:g * T + n] = src[i:j]
-        w_p[g * T:g * T + n] = w[i:j]
-        lid_p[g * T:g * T + n] = lid_all[i:j] - ws
-        block_id[g] = b
-        wstart[g] = ws
-        if b != prev_b:
-            first[g] = 1
-            prev_b = b
-    return src_p, w_p, lid_p, block_id, first, wstart
+    first[0] = 1
+    first[1:][cb[1:] != cb[:-1]] = 1
+    return (src_p, w_p, lid_p, cb.astype(np.int32), first,
+            cws.astype(np.int32))
+
+
+def _plain_padded_edges(dst, num_blocks, R, T) -> int:
+    """Padded edge count of the plain plan — O(E) bincount, no assembly."""
+    epb = np.bincount(dst // R, minlength=num_blocks)
+    return int(np.maximum(-(-epb // T), 1).sum()) * T
+
+
+def _window_chunk_count(dst, num_blocks, R, T, W) -> int:
+    """Chunk count of the greedy window plan (same rounds as
+    :func:`_build_window`, counting only — no array assembly)."""
+    blk_of_edge = dst // R
+    lid_all = (dst - blk_of_edge * R).astype(np.int64)
+    counts = np.bincount(blk_of_edge, minlength=num_blocks)
+    edge_start = np.zeros(num_blocks + 1, np.int64)
+    np.cumsum(counts, out=edge_start[1:])
+    key_all = blk_of_edge.astype(np.int64) * R + lid_all
+
+    G = int((counts == 0).sum())        # zeroing chunks of empty blocks
+    i_cur = edge_start[:-1].copy()
+    end = edge_start[1:]
+    b_ids = np.arange(num_blocks, dtype=np.int64)
+    open_m = i_cur < end
+    while open_m.any():
+        io = i_cur[open_m]
+        ws = np.minimum((lid_all[io] // 8) * 8, R - W)
+        j = np.searchsorted(key_all, b_ids[open_m] * R + ws + W, side="left")
+        j = np.minimum(np.minimum(j, io + T), end[open_m])
+        G += int(open_m.sum())
+        i_cur[open_m] = j
+        open_m = i_cur < end
+    return G
+
+
+def auto_window(dst: np.ndarray, num_dst: int, E: int,
+                block_rows: int = DEFAULT_BLOCK_ROWS,
+                chunk_edges: int = DEFAULT_CHUNK_EDGES) -> int:
+    """The "auto" window decision from padded-edge COUNTS only (no plan
+    assembly — at the 10M north star assembling a rejected candidate cost
+    more than every accepted plan combined).  ``dst`` must be sorted.
+
+    W must cover a chunk's typical row span (T / mean dst degree) plus
+    alignment slack, and is kept only while its padded edge count stays
+    within 2% of the plain plan's (per-chunk fixed costs dominate — the
+    forced-window probe measured 1.06-1.24x slowdowns past that slack,
+    docs/KERNEL.md round 3b)."""
+    R, T = int(block_rows), int(chunk_edges)
+    if E == 0:
+        return 0
+    num_blocks = max(-(-num_dst // R), 1)
+    mean_deg = E / max(num_dst, 1)
+    need = T / max(mean_deg, 1e-9) + 16
+    W = next((c for c in (64, 128, 256) if c >= need and c < R), 0)
+    if not W:
+        return 0
+    dst = np.asarray(dst, np.int64)
+    win_padded = _window_chunk_count(dst, num_blocks, R, T, W) * T
+    if win_padded <= 1.02 * _plain_padded_edges(dst, num_blocks, R, T):
+        return W
+    return 0
 
 
 def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
@@ -196,12 +290,9 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     """Host-side planning. ``src``/``dst``/``w`` must already be dst-sorted.
 
     ``window``: 0 disables the window kernel; an int W forces it (must be
-    0 < W < block_rows, both divisible by 8); "auto" picks W from the mean
-    destination degree and keeps it only while its padded edge count stays
-    within 2% of the plain plan's (the kernel is gather-traffic bound;
-    beyond that slack the extra padding costs more than narrow one-hots
-    save).
-    """
+    0 < W < block_rows, both divisible by 8); "auto" decides via
+    :func:`auto_window` (count-based — only the chosen variant is ever
+    assembled)."""
     R, T = int(block_rows), int(chunk_edges)
     E = int(src.shape[0])
     num_src = int(num_src if num_src is not None else (src.max() + 1 if E else 1))
@@ -214,30 +305,25 @@ def build_pallas_segment_plan(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     w = np.asarray(w, np.float32)
     assert np.all(np.diff(dst) >= 0), "edges must be sorted by dst"
 
-    plain = _build_plain(src, dst, w, num_dst, num_blocks, R, T)
-    chosen, win = plain, 0
+    if window == "auto":
+        win = auto_window(dst, num_dst, E, R, T)
+    elif window:
+        win = int(window)
+        # a forced window must satisfy the kernel's alignment contract
+        # up-front: win_start is promised multiple-of-8 (pl.multiple_of
+        # below) and clamped to R - W, so W >= R or misaligned W/R would
+        # miscompile to wrong results on TPU rather than raise.
+        if not (0 < win < R and win % 8 == 0 and R % 8 == 0):
+            raise ValueError(
+                f"window={win} invalid: need 0 < W < block_rows={R} and "
+                f"both divisible by 8 (win_start alignment promise)")
+    else:
+        win = 0
 
-    if window != 0:
-        if window == "auto":
-            # W must cover a chunk's typical row span (T / mean dst degree)
-            # plus alignment slack; reject when no power-of-two < R fits.
-            mean_deg = E / max(num_dst, 1)
-            need = T / max(mean_deg, 1e-9) + 16
-            W = next((c for c in (64, 128, 256) if c >= need and c < R), 0)
-        else:
-            W = int(window)
-            # a forced window must satisfy the kernel's alignment contract
-            # up-front: win_start is promised multiple-of-8 (pl.multiple_of
-            # below) and clamped to R - W, so W >= R or misaligned W/R would
-            # miscompile to wrong results on TPU rather than raise.
-            if not (0 < W < R and W % 8 == 0 and R % 8 == 0):
-                raise ValueError(
-                    f"window={W} invalid: need 0 < W < block_rows={R} and "
-                    f"both divisible by 8 (win_start alignment promise)")
-        if W:
-            cand = _build_window(src, dst, w, num_dst, num_blocks, R, T, W)
-            if window != "auto" or cand[0].shape[0] <= 1.02 * plain[0].shape[0]:
-                chosen, win = cand, W
+    if win:
+        chosen = _build_window(src, dst, w, num_dst, num_blocks, R, T, win)
+    else:
+        chosen = _build_plain(src, dst, w, num_dst, num_blocks, R, T)
 
     src_p, w_p, lid_p, block_id, first, wstart = chosen
     E_pad = src_p.shape[0]
@@ -281,12 +367,11 @@ def build_sliced_segment_plans(src: np.ndarray, dst: np.ndarray,
     blocks = max(-(-num_dst // R), 1)
     S = min(4, blocks) if slices == "auto" else int(slices)
     S = max(min(S, blocks), 1)
-    full = build_pallas_segment_plan(
-        src, dst, w, num_dst, block_rows=R, chunk_edges=chunk_edges,
-        num_src=num_src, interpret=interpret, msg_dtype=msg_dtype,
-        window=window)
     if S == 1 or E == 0:
-        return (full,)
+        return (build_pallas_segment_plan(
+            src, dst, w, num_dst, block_rows=R, chunk_edges=chunk_edges,
+            num_src=num_src, interpret=interpret, msg_dtype=msg_dtype,
+            window=window),)
 
     order_ok = np.all(np.diff(dst) >= 0)
     assert order_ok, "edges must be sorted by dst"
@@ -296,8 +381,12 @@ def build_sliced_segment_plans(src: np.ndarray, dst: np.ndarray,
     # and the (R, T, W) parameters, so same-window slices reproduce the
     # unsliced plan's cuts — and therefore its per-row fp32 accumulation
     # order — exactly.  (Per-slice "auto" could pick divergent windows on
-    # slices whose local mean degree crosses a threshold.)
-    forced_window = full.window                 # 0 = plain kernel
+    # slices whose local mean degree crosses a threshold.)  The decision
+    # is count-based (auto_window) — no full-operator plan is assembled.
+    if window == "auto":
+        forced_window = auto_window(dst, num_dst, E, R, chunk_edges)
+    else:
+        forced_window = int(window)             # 0 = plain kernel
     plans = []
     for s in range(S):
         lo = (blocks * s // S) * R

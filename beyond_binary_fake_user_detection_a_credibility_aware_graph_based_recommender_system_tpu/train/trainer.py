@@ -42,13 +42,22 @@ from .checkpoint import TrainCheckpointer, save_params_npz
 
 def format_metrics_block(title: str, res: Dict[int, Dict[str, float]]) -> str:
     """Reference-format metric block for parity diffing against the captured
-    ``.out`` logs (lightgcn.py:608-611)."""
+    ``.out`` logs (lightgcn.py:608-611; extended-metric fields in the same
+    K= line per Version-2/lighgcn_cu_pop.py:888-933)."""
     lines = [f"{title} metrics:"]
     for K in sorted(res):
         r = res[K]
+        ext = ""
+        if "item_coverage" in r:
+            ext = (f"COV={r['item_coverage']:.4f} "
+                   f"LogPop={r['avg_log_popularity']:.4f} "
+                   f"SI={r['avg_self_information']:.4f} "
+                   f"CredU={r['cred_utility']:.4f} "
+                   f"HighR={r['high_cred_recall']:.4f} "
+                   f"LowR={r['low_cred_recall']:.4f} ")
         lines.append(
             f"  K={K}: P={r['precision']:.4f} R={r['recall']:.4f} "
-            f"NDCG={r['ndcg']:.4f} ({r['mode']})")
+            f"NDCG={r['ndcg']:.4f} {ext}({r['mode']})")
     return "\n".join(lines)
 
 
