@@ -83,6 +83,10 @@ scaled_10m = _register(RecConfig(
     emb_dim=128, num_layers=4, batch_size=8192, epochs=50,
     eval_mode="full", propagation_schedule="per_epoch",
     spmm_backend="auto",
+    # approx_max_k eval: metrics identical to exact to all printed digits
+    # at this scale, protocol 1.62x faster end to end (runs/SUMMARY.md
+    # round 3; eval_topk=exact is one override away)
+    eval_topk="approx",
 ))
 
 

@@ -145,6 +145,11 @@ class RecConfig(ConfigBase):
     Ks: Tuple[int, ...] = (10, 20)
     eval_every: int = 1
     eval_mode: str = "sampled"        # "sampled" | "full"
+    # full-catalog ranking op: "exact" = lax.top_k (parity default);
+    # "approx" = lax.approx_max_k (TPU PartialReduce, recall 0.99/entry)
+    # — the exact (B, I) sort is ~70% of full-eval time at 10M items
+    # (106.6 -> 39.2 ms/batch measured; scripts/probe_topk.py)
+    eval_topk: str = "exact"
     sampled_negatives: int = 99
     extended_metrics: bool = False    # coverage/novelty/cred-utility/group recall
     cred_group_pct: float = 0.20
@@ -182,6 +187,7 @@ class RecConfig(ConfigBase):
         assert self.weight_mode in WEIGHT_MODES, self.weight_mode
         assert self.negative_sampler in NEGATIVE_SAMPLERS, self.negative_sampler
         assert self.eval_mode in ("sampled", "full"), self.eval_mode
+        assert self.eval_topk in ("exact", "approx"), self.eval_topk
         assert self.table_layout in ("joint", "split"), self.table_layout
         assert self.propagation_schedule in ("per_batch", "per_epoch")
         assert self.membership in ("hash", "bsearch"), self.membership

@@ -67,8 +67,8 @@ def main():
         return v2, jnp.take_along_axis(gi, j, axis=1)
 
     variants = {
-        "B matmul": lambda ue, ie, excl, t: scores_of(ue, ie, t).sum(),
-        "C +exclusion": lambda ue, ie, excl, t: masked(ue, ie, excl, t).sum(),
+        "B matmul": lambda ue, ie, excl, t: scores_of(ue, ie, t).max(),
+        "C +exclusion": lambda ue, ie, excl, t: masked(ue, ie, excl, t).max(),
         "A +top_k(full)": lambda ue, ie, excl, t: lax.top_k(
             masked(ue, ie, excl, t), K)[1].sum(),
         "D chunked top-k": lambda ue, ie, excl, t: chunked_topk(
@@ -76,6 +76,14 @@ def main():
         "E bf16 + chunked": lambda ue, ie, excl, t: chunked_topk(
             masked(ue.astype(jnp.bfloat16), ie.astype(jnp.bfloat16),
                    excl, t).astype(jnp.float32))[1].sum(),
+        # lax.approx_max_k is THE TPU-native top-k (PartialReduce op);
+        # recall_target bounds the chance of missing a true top-K item
+        "F approx_max_k .99": lambda ue, ie, excl, t: lax.approx_max_k(
+            masked(ue, ie, excl, t), K, recall_target=0.99)[1].sum(),
+        "G approx_max_k .95": lambda ue, ie, excl, t: lax.approx_max_k(
+            masked(ue, ie, excl, t), K, recall_target=0.95)[1].sum(),
+        "H top_k on bf16": lambda ue, ie, excl, t: lax.top_k(
+            masked(ue, ie, excl, t).astype(jnp.bfloat16), K)[1].sum(),
     }
 
     # correctness: chunked top-k set == full top_k set (random floats, no ties)

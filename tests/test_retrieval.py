@@ -82,3 +82,26 @@ def test_fast_hash_split_proportions():
     tot = sum(g.edges(s).shape[1] for s in ("train", "val", "test"))
     assert abs(g.train_edges.shape[1] / tot - 0.8) < 0.02
     assert abs(g.val_edges.shape[1] / tot - 0.1) < 0.02
+
+
+def test_full_eval_approx_topk_matches_exact_on_cpu(small_graph):
+    """eval_topk="approx" (lax.approx_max_k, the TPU PartialReduce top-k)
+    must produce the same full-catalog metrics as "exact" on CPU, where
+    the op lowers to an exact fallback — guards the plumbing; the TPU
+    recall/metric delta is measured in runs/ (scripts/probe_topk.py)."""
+    import jax
+    import jax.numpy as jnp
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.eval.ranking import (
+        EvalContext, evaluate_full)
+
+    ctx = EvalContext.build(small_graph)
+    rng = np.random.default_rng(0)
+    ue = jnp.asarray(rng.normal(size=(small_graph.num_users, 16)) * 0.2,
+                     jnp.float32)
+    ie = jnp.asarray(rng.normal(size=(small_graph.num_items, 16)) * 0.2,
+                     jnp.float32)
+    exact = evaluate_full(ue, ie, ctx, "test", Ks=(5, 10), topk="exact")
+    approx = evaluate_full(ue, ie, ctx, "test", Ks=(5, 10), topk="approx")
+    for K in (5, 10):
+        for m in ("precision", "recall", "ndcg"):
+            assert abs(exact[K][m] - approx[K][m]) < 1e-9, (K, m)
