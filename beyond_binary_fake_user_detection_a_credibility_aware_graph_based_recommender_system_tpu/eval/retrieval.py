@@ -92,9 +92,8 @@ def topk_for_users(user_emb: jax.Array, item_emb: jax.Array,
 
     scores = u @ item_emb.T                                   # (B, I)
     if excl is not None:
-        pad = jnp.full((scores.shape[0], 1), -jnp.inf, scores.dtype)
-        ext = jnp.concatenate([scores, pad], axis=1)
+        # pad slots hold index num_items (out of range) -> mode="drop"
+        # discards them: no pad-column concat+slice passes over (B, I)
         rows = jnp.arange(scores.shape[0])[:, None]
-        ext = ext.at[rows, excl].set(-jnp.inf)
-        scores = ext[:, :-1]
+        scores = scores.at[rows, excl].set(-jnp.inf, mode="drop")
     return jax.lax.top_k(scores, k)

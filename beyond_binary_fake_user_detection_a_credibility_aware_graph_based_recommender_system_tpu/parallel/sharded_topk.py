@@ -79,16 +79,15 @@ class ShardedTopK:
             scores = jnp.where(valid, scores, -jnp.inf)
             if has_exclude:
                 # mask BEFORE the local top-k: a hub user whose seen items
-                # dominate one shard must not crowd out valid candidates
+                # dominate one shard must not crowd out valid candidates.
+                # out-of-shard ids map to rows_per -> mode="drop" discards
+                # them (no pad-column concat+slice passes over the scores)
                 B = scores.shape[0]
                 loc = excl - base
                 in_range = (loc >= 0) & (loc < rows_per)
                 col = jnp.where(in_range, loc, rows_per)
-                ext = jnp.concatenate(
-                    [scores, jnp.zeros((B, 1), scores.dtype)], axis=1)
                 rows = jnp.arange(B)[:, None]
-                ext = ext.at[rows, col].set(-jnp.inf)
-                scores = ext[:, :-1]
+                scores = scores.at[rows, col].set(-jnp.inf, mode="drop")
             loc_v, loc_i = jax.lax.top_k(scores, min(k, rows_per))
             loc_g = jnp.take_along_axis(gids, loc_i, axis=1)
             # gather candidates from every shard
