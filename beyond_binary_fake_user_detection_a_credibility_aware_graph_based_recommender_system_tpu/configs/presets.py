@@ -83,10 +83,12 @@ scaled_10m = _register(RecConfig(
     emb_dim=128, num_layers=4, batch_size=8192, epochs=50,
     eval_mode="full", propagation_schedule="per_epoch",
     spmm_backend="auto",
-    # approx_max_k eval: metrics identical to exact to all printed digits
-    # at this scale, protocol 1.62x faster end to end (runs/SUMMARY.md
-    # round 3; eval_topk=exact is one override away)
+    # approx_max_k + bf16 score eval: metrics identical to the exact fp32
+    # protocol to all printed digits at this scale, 2.96x faster end to
+    # end (756.7 -> 255.3 s/12-epoch protocol, runs/SUMMARY.md round 3;
+    # eval_topk=exact eval_score_dtype=fp32 are one override away)
     eval_topk="approx",
+    eval_score_dtype="bf16",
 ))
 
 

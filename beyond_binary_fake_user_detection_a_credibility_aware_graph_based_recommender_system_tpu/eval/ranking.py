@@ -162,10 +162,12 @@ def _full_metrics_from_topk(topk_items, users, test_csr: DeviceCSR, item_pop,
 
 
 @functools.partial(jax.jit, static_argnames=("Ks", "extended", "total_train",
-                                              "num_items", "topk"))
+                                              "num_items", "topk",
+                                              "score_dtype"))
 def _full_batch(user_emb, item_emb, users, excl_rows,
                 test_csr: DeviceCSR, item_pop, Ks: tuple, extended: bool,
-                total_train: int, num_items: int, topk: str = "exact"):
+                total_train: int, num_items: int, topk: str = "exact",
+                score_dtype: str = "fp32"):
     """``excl_rows``: (B, Pb) per-batch train-item rows (pad = num_items) —
     retraced per power-of-two Pb, never materializing the (U, Pmax) table.
 
@@ -175,6 +177,12 @@ def _full_batch(user_emb, item_emb, users, excl_rows,
     (106.6 -> 39.2 ms/batch measured, scripts/probe_topk.py); on CPU the
     op lowers to the exact path.  "exact" (``lax.top_k``) is the parity
     default."""
+    if score_dtype == "bf16":
+        # bf16 score matmul + ranking: halves score-matrix bandwidth
+        # (32.8 -> 26.6 ms/approx-batch at the 10M catalog); rank order
+        # shifts only among scores within ~3 bf16 ulp of each other
+        user_emb = user_emb.astype(jnp.bfloat16)
+        item_emb = item_emb.astype(jnp.bfloat16)
     scores = user_emb[users] @ item_emb.T                       # (B, I)
     rows = jnp.arange(scores.shape[0])[:, None]
     # pad slots hold index num_items (out of range) -> mode="drop" discards
@@ -298,7 +306,8 @@ def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
                   split: str, Ks: Sequence[int] = (10, 20), batch: int = 512,
                   extended: bool = False, cred: Optional[np.ndarray] = None,
                   cred_group_pct: float = 0.20, mesh=None,
-                  topk: str = "exact") -> Dict[int, Dict[str, float]]:
+                  topk: str = "exact",
+                  score_dtype: str = "fp32") -> Dict[int, Dict[str, float]]:
     """Full-catalog masked ranking (lightgcn.py:459-509).
 
     With ``mesh``, the score matmul + masked top-k run column-sharded over
@@ -324,7 +333,7 @@ def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
             per_user, topk_items, logpop, selfinfo = _full_batch(
                 user_emb, item_emb, bu, excl, eval_csr,
                 ctx.item_pop_dev, tuple(Ks), extended, ctx.total_train,
-                ctx.graph.num_items, topk=topk)
+                ctx.graph.num_items, topk=topk, score_dtype=score_dtype)
         acc.add(per_user, n_valid, topk_items if extended else None, logpop,
                 selfinfo)
     return acc.results("full", ctx.graph.num_items, users, cred,

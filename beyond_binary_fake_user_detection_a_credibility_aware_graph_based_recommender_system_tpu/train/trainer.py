@@ -330,7 +330,8 @@ class RecTrainer:
             return evaluate_full(user_emb, item_emb, self.ctx, split,
                                  Ks=cfg.Ks, extended=extended, cred=self.cred,
                                  cred_group_pct=cfg.cred_group_pct,
-                                 mesh=self.mesh, topk=cfg.eval_topk)
+                                 mesh=self.mesh, topk=cfg.eval_topk,
+                                 score_dtype=cfg.eval_score_dtype)
         if key is None:
             # dedicated eval stream, reference's seed+999 (lightgcn.py:406)
             key = jax.random.PRNGKey(cfg.seed + 999)

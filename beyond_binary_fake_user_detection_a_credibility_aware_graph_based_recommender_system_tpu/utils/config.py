@@ -150,6 +150,9 @@ class RecConfig(ConfigBase):
     # — the exact (B, I) sort is ~70% of full-eval time at 10M items
     # (106.6 -> 39.2 ms/batch measured; scripts/probe_topk.py)
     eval_topk: str = "exact"
+    # full-catalog score matmul + ranking dtype: "bf16" halves score-matrix
+    # bandwidth (single-chip path only; measured quality in runs/SUMMARY.md)
+    eval_score_dtype: str = "fp32"
     sampled_negatives: int = 99
     extended_metrics: bool = False    # coverage/novelty/cred-utility/group recall
     cred_group_pct: float = 0.20
@@ -188,6 +191,7 @@ class RecConfig(ConfigBase):
         assert self.negative_sampler in NEGATIVE_SAMPLERS, self.negative_sampler
         assert self.eval_mode in ("sampled", "full"), self.eval_mode
         assert self.eval_topk in ("exact", "approx"), self.eval_topk
+        assert self.eval_score_dtype in ("fp32", "bf16"), self.eval_score_dtype
         assert self.table_layout in ("joint", "split"), self.table_layout
         assert self.propagation_schedule in ("per_batch", "per_epoch")
         assert self.membership in ("hash", "bsearch"), self.membership

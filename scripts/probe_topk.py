@@ -59,6 +59,12 @@ def main():
         ext = ext.at[rows, excl].set(-1e9)
         return ext[:, :-1]
 
+    def masked_drop(ue, ie, excl, t):
+        s = scores_of(ue, ie, t)
+        rows = jnp.arange(B)[:, None]
+        # pad slots hold index I (out of range) -> dropped by the scatter
+        return s.at[rows, excl].set(-1e9, mode="drop")
+
     def chunked_topk(s):
         v, i = lax.top_k(s.reshape(B, C, I // C), K)          # (B, C, K)
         base = (jnp.arange(C, dtype=jnp.int32) * (I // C))[None, :, None]
@@ -84,6 +90,13 @@ def main():
             masked(ue, ie, excl, t), K, recall_target=0.95)[1].sum(),
         "H top_k on bf16": lambda ue, ie, excl, t: lax.top_k(
             masked(ue, ie, excl, t).astype(jnp.bfloat16), K)[1].sum(),
+        # drop-mode scatter: no pad-column concat+slice passes over (B, I)
+        "I dropmask+approx": lambda ue, ie, excl, t: lax.approx_max_k(
+            masked_drop(ue, ie, excl, t), K, recall_target=0.99)[1].sum(),
+        "J bf16+drop+approx": lambda ue, ie, excl, t: lax.approx_max_k(
+            masked_drop(ue.astype(jnp.bfloat16), ie.astype(jnp.bfloat16),
+                        excl, t).astype(jnp.float32), K,
+            recall_target=0.99)[1].sum(),
     }
 
     # correctness: chunked top-k set == full top_k set (random floats, no ties)
