@@ -24,6 +24,18 @@ def _add_overrides(p):
                    help="config overrides as key=value")
 
 
+def _make_mesh(spec):
+    """--mesh 'all' or a device count -> (data, model) Mesh, else None."""
+    if not spec:
+        return None
+    import jax
+    from ..parallel.mesh import make_mesh
+    n = len(jax.devices()) if spec == "all" else int(spec)
+    mesh = make_mesh(n)
+    print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    return mesh
+
+
 def cmd_build_graph(args):
     from ..data.ingest import ingest_jsonl
     from ..graph.build import build_bipartite_graph
@@ -44,6 +56,7 @@ def cmd_train_cred(args):
                                  save_labels_csv)
     from ..data.ingest import ingest_jsonl
     from ..graph.hetero import build_heterograph
+    from ..train.checkpoint import TrainCheckpointer
     from ..train.cred_trainer import CredTrainer
     from ..utils.config import CredConfig, IngestConfig
 
@@ -62,8 +75,11 @@ def cmd_train_cred(args):
     if args.plots:
         from ..eval.report import plot_feature_distributions
         plot_feature_distributions(feats, out / "plots")
-    trainer = CredTrainer(hg, ccfg)
-    result = trainer.fit()
+    mesh = _make_mesh(args.mesh)
+    trainer = CredTrainer(hg, ccfg, mesh=mesh)
+    ck = TrainCheckpointer(out / "cred_ckpt", keep=args.ckpt_keep,
+                           every=args.ckpt_every) if args.checkpoint else None
+    result = trainer.fit(checkpointer=ck, resume=args.resume)
     trainer.export(result, out)
 
 
@@ -80,14 +96,7 @@ def cmd_train_rec(args):
         cfg = cfg.replace(out_dir=args.out)
     graph = BipartiteGraph.load_npz(args.graph)
     print(f"Loaded edges. {graph.summary()}")
-    mesh = None
-    if args.mesh:
-        import jax
-        from ..parallel.mesh import make_mesh
-        n = len(jax.devices()) if args.mesh == "all" else int(args.mesh)
-        mesh = make_mesh(n)
-        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    trainer = RecTrainer(cfg, graph, mesh=mesh)
+    trainer = RecTrainer(cfg, graph, mesh=_make_mesh(args.mesh))
     ck = TrainCheckpointer(Path(args.out) / "ckpt",
                            keep=args.ckpt_keep, every=args.ckpt_every) if (
         args.out and args.checkpoint) else None
@@ -120,14 +129,7 @@ def cmd_evaluate(args):
     if args.cred:
         cfg = cfg.replace(cred_csv_path=args.cred)
     graph = BipartiteGraph.load_npz(args.graph)
-    mesh = None
-    if args.mesh:
-        import jax
-        from ..parallel.mesh import make_mesh
-        n = len(jax.devices()) if args.mesh == "all" else int(args.mesh)
-        mesh = make_mesh(n)
-        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    trainer = RecTrainer(cfg, graph, mesh=mesh)
+    trainer = RecTrainer(cfg, graph, mesh=_make_mesh(args.mesh))
     params = load_params_npz(args.params)
     res = trainer.evaluate(params, args.split)
     print(format_metrics_block(args.split.upper(), res))
@@ -149,6 +151,15 @@ def build_parser():
     p.add_argument("--out", required=True)
     p.add_argument("--plots", action="store_true",
                    help="write fake-vs-genuine feature distribution PNGs")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="async Orbax full-state checkpoints under "
+                        "OUT/cred_ckpt")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest OUT/cred_ckpt state")
+    p.add_argument("--mesh", default=None,
+                   help="'all' or device count: sharded Stage-A forward")
+    p.add_argument("--ckpt-keep", type=int, default=3)
+    p.add_argument("--ckpt-every", type=int, default=1)
     _add_overrides(p)
     p.set_defaults(fn=cmd_train_cred)
 

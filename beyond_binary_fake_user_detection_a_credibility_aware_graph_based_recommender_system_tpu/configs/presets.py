@@ -85,8 +85,12 @@ scaled_10m = _register(RecConfig(
     spmm_backend="auto",
     # approx_max_k + bf16 score eval: metrics identical to the exact fp32
     # protocol to all printed digits at this scale, 2.96x faster end to
-    # end (756.7 -> 255.3 s/12-epoch protocol, runs/SUMMARY.md round 3;
-    # eval_topk=exact eval_score_dtype=fp32 are one override away)
+    # end (756.7 -> 255.3 s/12-epoch protocol, runs/SUMMARY.md round 3).
+    # NOTE this preset's eval is therefore APPROXIMATE BY DEFAULT —
+    # parity/oracle runs must override eval_topk=exact
+    # eval_score_dtype=fp32 (docs/QUALITY_PARITY.md).  Under --mesh the
+    # sharded top-k is always exact fp32 and these two knobs are ignored
+    # (eval/ranking.py:_warn_mesh_exact_once).
     eval_topk="approx",
     eval_score_dtype="bf16",
 ))

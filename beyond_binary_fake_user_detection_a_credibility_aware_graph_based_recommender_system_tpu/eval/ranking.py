@@ -190,9 +190,15 @@ def _full_batch(user_emb, item_emb, users, excl_rows,
     # score matrix (39.9 -> 32.8 ms/batch at the 10M catalog)
     scores = scores.at[rows, excl_rows].set(-1e9, mode="drop")
     if topk == "approx":
-        _, topk_items = jax.lax.approx_max_k(scores, max(Ks),
-                                             recall_target=0.99)
-        topk_items = topk_items.astype(jnp.int32)
+        vals, topk_items = jax.lax.approx_max_k(scores, max(Ks),
+                                                recall_target=0.99)
+        # approx_max_k reduces per bin, so a bin whose every item is an
+        # excluded train item can surface a -1e9 slot for a hub user;
+        # demote such slots to the out-of-range sentinel ``num_items`` so
+        # they never count as hits or coverage (the accumulator filters
+        # ids >= num_items; row_contains returns False out of range).
+        topk_items = jnp.where(vals > jnp.float32(-5e8), topk_items,
+                               num_items).astype(jnp.int32)
     else:
         _, topk_items = jax.lax.top_k(scores, max(Ks))
     return _full_metrics_from_topk(topk_items, users, test_csr, item_pop,
@@ -207,9 +213,11 @@ class _Accumulator:
     remote device link dominate evaluation latency otherwise (measured ~8s
     per epoch at reference scale before this change)."""
 
-    def __init__(self, Ks: Sequence[int], extended: bool):
+    def __init__(self, Ks: Sequence[int], extended: bool,
+                 num_items: Optional[int] = None):
         self.Ks = list(Ks)
         self.extended = extended
+        self.num_items = num_items   # coverage filters sentinel ids >= this
         self.sums = {K: {} for K in self.Ks}
         self.rec_items = {K: set() for K in self.Ks} if extended else None
         self.per_user_recall = {K: [] for K in self.Ks}
@@ -233,8 +241,10 @@ class _Accumulator:
                 self.per_user_recall[K].append(
                     np.asarray(per_user[K]["recall"])[:n_valid])
                 if self.extended and ranked_items is not None:
-                    self.rec_items[K].update(
-                        np.unique(ranked_items[:n_valid, :K]).tolist())
+                    ids = np.unique(ranked_items[:n_valid, :K])
+                    if self.num_items is not None:
+                        ids = ids[ids < self.num_items]
+                    self.rec_items[K].update(ids.tolist())
                     self.sums[K]["logpop"] = self.sums[K].get(
                         "logpop", 0.0) + float(logpop[K][:n_valid].sum())
                     self.sums[K]["selfinfo"] = self.sums[K].get(
@@ -273,6 +283,20 @@ class _Accumulator:
                     r["low_users"] = len(lo_idx)
             out[K] = r
         return out
+
+
+_MESH_EXACT_WARNED = False
+
+
+def _warn_mesh_exact_once():
+    """Mesh evaluation always runs the distributed top-k exact in fp32 —
+    say so ONCE when the config asked for approx/bf16 so the configured
+    single-chip eval speedup isn't silently lost."""
+    global _MESH_EXACT_WARNED
+    if not _MESH_EXACT_WARNED:
+        _MESH_EXACT_WARNED = True
+        print("[eval] mesh full-catalog eval ignores eval_topk/"
+              "eval_score_dtype: the sharded top-k merge is exact fp32")
 
 
 def evaluate_sampled(key: jax.Array, user_emb: jax.Array, item_emb: jax.Array,
@@ -318,7 +342,9 @@ def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
     if users.size == 0:
         raise RuntimeError(f"No users with {split} interactions.")
     eval_csr = ctx.split_csr(split)
-    acc = _Accumulator(Ks, extended)
+    acc = _Accumulator(Ks, extended, num_items=ctx.graph.num_items)
+    if mesh is not None and (topk != "exact" or score_dtype != "fp32"):
+        _warn_mesh_exact_once()
     for bu, bu_host, n_valid in _batched(users, batch):
         excl = jnp.asarray(ctx.train_exclusion_rows(bu_host))
         if mesh is not None:

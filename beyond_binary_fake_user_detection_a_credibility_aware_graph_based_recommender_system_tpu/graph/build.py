@@ -149,6 +149,12 @@ def synthetic_bipartite_graph(num_users: int = 200, num_items: int = 300,
     p = 1.0 / np.arange(1, num_items + 1, dtype=np.float64) ** power
     p /= p.sum()
     items = rng.choice(num_items, size=n_edges, p=p)
+    return _dedup_split_graph(users, items, num_users, num_items, hash_split)
+
+
+def _dedup_split_graph(users: np.ndarray, items: np.ndarray, num_users: int,
+                       num_items: int, hash_split: str) -> BipartiteGraph:
+    """Dedup (u, i) pairs and content-hash split 80/10/10 into a graph."""
     pairs = np.unique(np.stack([users, items], axis=1), axis=0)
     users, items = pairs[:, 0], pairs[:, 1]
 
@@ -179,3 +185,74 @@ def synthetic_bipartite_graph(num_users: int = 200, num_items: int = 300,
         user_ids=[f"u{k}" for k in range(num_users)],
         item_ids=[f"i{k}" for k in range(num_items)],
     )
+
+
+def synthetic_bipartite_graph_planted(
+        num_users: int = 200, num_items: int = 300,
+        edges_per_user: float = 8.0, seed: int = 0, power: float = 1.0,
+        coarse_clusters: int = 16, fine_per_coarse: int = 16,
+        mix: tuple = (0.55, 0.25, 0.20),
+        hash_split: str = "auto") -> BipartiteGraph:
+    """Zipf bipartite graph with PLANTED two-level preference structure.
+
+    The plain :func:`synthetic_bipartite_graph` draws users uniformly and
+    items Zipf — there is no user-item affinity to learn beyond popularity,
+    so full-catalog metrics freeze within ~3 epochs at the 10M scale
+    (VERDICT r3 weak-1: a flat metric surface certifies nothing about
+    ranking-perturbing eval fast paths).  Here every user and item carries
+    a latent (coarse, fine) cluster pair — fine clusters nest inside
+    coarse ones — and each interaction draws its item from a mixture:
+
+      * ``mix[0]``: the user's FINE cluster (conditional Zipf within it),
+      * ``mix[1]``: the user's COARSE cluster (ditto),
+      * ``mix[2]``: the global Zipf (popularity noise floor).
+
+    A recommender learns the coarse structure early (large gains) and the
+    fine structure over many more epochs (items/fine-cluster >> per-user
+    degree), so full-catalog VAL metrics keep strictly improving — a
+    MOVING metric surface on which top-K set overlap between eval modes
+    is meaningful.  Item popularity stays Zipf(power) marginally: cluster
+    ids are assigned round-robin over the popularity ranks, so every
+    cluster spans head and tail items and the degree-skew properties the
+    kernels are load-balanced for (SURVEY.md §7) are preserved.
+    """
+    assert abs(sum(mix) - 1.0) < 1e-9 and min(mix) >= 0.0, mix
+    rng = np.random.default_rng(seed)
+    C = coarse_clusters * fine_per_coarse           # total fine clusters
+    n_edges = int(num_users * edges_per_user)
+
+    # round-robin assignment over popularity rank: fine cluster f lives in
+    # coarse cluster f // fine_per_coarse; item j -> fine cluster j % C
+    item_fine = np.arange(num_items, dtype=np.int64) % C
+    user_fine = rng.integers(0, C, size=num_users)
+
+    p_global = 1.0 / np.arange(1, num_items + 1, dtype=np.float64) ** power
+    p_global /= p_global.sum()
+
+    users = rng.integers(0, num_users, size=n_edges)
+    level = rng.choice(3, size=n_edges, p=list(mix))  # 0=fine 1=coarse 2=global
+    items = np.empty(n_edges, np.int64)
+
+    glob = level == 2
+    if glob.any():
+        items[glob] = rng.choice(num_items, size=int(glob.sum()), p=p_global)
+
+    edge_fine = user_fine[users]
+    # fine draws: loop over C fine clusters (vectorized choice inside each)
+    fine_sel = level == 0
+    for f in np.unique(edge_fine[fine_sel]):
+        m = fine_sel & (edge_fine == f)
+        idx = np.nonzero(item_fine == f)[0]
+        pc = p_global[idx] / p_global[idx].sum()
+        items[m] = rng.choice(idx, size=int(m.sum()), p=pc)
+    # coarse draws: items of any fine cluster inside the user's coarse one
+    coarse_sel = level == 1
+    edge_coarse = edge_fine // fine_per_coarse
+    item_coarse = item_fine // fine_per_coarse
+    for c in np.unique(edge_coarse[coarse_sel]):
+        m = coarse_sel & (edge_coarse == c)
+        idx = np.nonzero(item_coarse == c)[0]
+        pc = p_global[idx] / p_global[idx].sum()
+        items[m] = rng.choice(idx, size=int(m.sum()), p=pc)
+
+    return _dedup_split_graph(users, items, num_users, num_items, hash_split)

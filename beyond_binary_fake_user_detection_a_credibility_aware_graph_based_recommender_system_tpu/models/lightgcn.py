@@ -229,6 +229,13 @@ class LightGCN:
         full-size tables — at reference scale the full-table layer
         accumulation + its backward cost ~2 ms of a ~30 ms train step.
         ``propagate`` (full tables) remains the evaluation path.
+
+        Padded-chain tables are indexed through the layout's row->slot map
+        (``_slot``), so GLOBAL row ids are correct for both the single-chip
+        tail-padding ``PadLayout`` (slot == row) and the mesh
+        ``SpanLayout`` (slot = device*rows_max + offset) — indexing the
+        padded table with raw rows under a SpanLayout would silently read
+        the wrong users.
         """
         K = self.cfg.num_layers
         mode = self.cfg.propagation
@@ -238,17 +245,25 @@ class LightGCN:
                                               "fp32") == "bf16"
                       else jnp.float32)
         chain = self._padded_chain()
+
+        def _slot(layout, rows):
+            """Global row ids -> padded-table slots for this layout."""
+            fwd = getattr(layout, "fwd", None)  # SpanLayout row->slot map
+            return rows if fwd is None else fwd[rows]
+
         if mode == "symmetric":
             x = params["emb"] if "emb" in params else jnp.concatenate(
                 [params["user_emb"], params["item_emb"]], axis=0)
             x = x.astype(prop_dtype)
+            iid = item_rows + self.num_users
             if chain is not None:
                 x = chain.src_layout.to_padded(x)
                 apply_j = self._padded_apply_fn(chain, state["joint"])
+                user_rows = _slot(chain.src_layout, user_rows)
+                iid = _slot(chain.src_layout, iid)
             else:
                 apply_j = lambda t: self._apply(self.joint_op,
                                                 state["joint"], t)
-            iid = item_rows + self.num_users
             au = x[user_rows].astype(jnp.float32)
             ai = x[iid].astype(jnp.float32)
             for _ in range(K):
@@ -266,6 +281,8 @@ class LightGCN:
             i = ufi.src_layout.to_padded(i)
             apply_ifu = self._padded_apply_fn(ifu, state["ifu"])
             apply_ufi = self._padded_apply_fn(ufi, state["ufi"])
+            user_rows = _slot(ifu.src_layout, user_rows)
+            item_rows = _slot(ufi.src_layout, item_rows)
         else:
             apply_ifu = lambda x: self._apply(self.item_from_user,
                                               state["ifu"], x)

@@ -51,10 +51,13 @@ def format_metrics_block(title: str, res: Dict[int, Dict[str, float]]) -> str:
         if "item_coverage" in r:
             ext = (f"COV={r['item_coverage']:.4f} "
                    f"LogPop={r['avg_log_popularity']:.4f} "
-                   f"SI={r['avg_self_information']:.4f} "
-                   f"CredU={r['cred_utility']:.4f} "
-                   f"HighR={r['high_cred_recall']:.4f} "
-                   f"LowR={r['low_cred_recall']:.4f} ")
+                   f"SI={r['avg_self_information']:.4f} ")
+            # cred-group fields exist only when extended eval ran with a
+            # cred vector (evaluate_full(cred=None) omits them)
+            if "cred_utility" in r:
+                ext += (f"CredU={r['cred_utility']:.4f} "
+                        f"HighR={r['high_cred_recall']:.4f} "
+                        f"LowR={r['low_cred_recall']:.4f} ")
         lines.append(
             f"  K={K}: P={r['precision']:.4f} R={r['recall']:.4f} "
             f"NDCG={r['ndcg']:.4f} {ext}({r['mode']})")

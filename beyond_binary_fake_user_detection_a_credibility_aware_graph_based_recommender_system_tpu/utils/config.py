@@ -148,7 +148,10 @@ class RecConfig(ConfigBase):
     # full-catalog ranking op: "exact" = lax.top_k (parity default);
     # "approx" = lax.approx_max_k (TPU PartialReduce, recall 0.99/entry)
     # — the exact (B, I) sort is ~70% of full-eval time at 10M items
-    # (106.6 -> 39.2 ms/batch measured; scripts/probe_topk.py)
+    # (106.6 -> 39.2 ms/batch measured; scripts/probe_topk.py).
+    # Mesh evaluation ignores BOTH eval_topk and eval_score_dtype: the
+    # distributed top-k merge is always exact fp32 (a one-time warning is
+    # printed when a fast setting would be dropped).
     eval_topk: str = "exact"
     # full-catalog score matmul + ranking dtype: "bf16" halves score-matrix
     # bandwidth (single-chip path only; measured quality in runs/SUMMARY.md)
@@ -252,10 +255,14 @@ class CredConfig(ConfigBase):
     tau_temp: float = 0.2
     temp_split: float = 0.5
 
-    # TPU-native trainer mode: "full_graph" runs the two-layer EWA aggregation
-    # over the whole graph per step (the graph fits on a chip; SURVEY.md §7
-    # step 7); "slas" uses Gumbel-top-k SLAS subgraph sampling for scaled
-    # graphs.
-    trainer_mode: str = "full_graph"
+    # Trainer mode: "slas" (default) reproduces the reference's SLAS
+    # subgraph sampling as fixed-shape on-device Gumbel-top-k — it is the
+    # reference-faithful mode (rank corr 0.965 vs the SLAS oracle with
+    # near-identical score percentiles, docs/QUALITY_PARITY.md);
+    # "full_graph" runs the two-layer EWA aggregation over the whole graph
+    # per step (faster, graph fits on a chip) but compresses the score
+    # distribution (p10 0.45 vs oracle 0.25) — a measured deviation, so it
+    # is opt-in rather than the default ("reproduce, don't fix").
+    trainer_mode: str = "slas"
     contrastive_batch: int = 2048
     seed: int = 42

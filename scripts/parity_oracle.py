@@ -336,6 +336,47 @@ def evaluate_sampled(model, train_csr, eval_csr, num_items, seed,
     return out
 
 
+def evaluate_full(model, train_csr, eval_csr, num_items):
+    """Full-catalog protocol (lightgcn.py:459-509): per eval user, rank ALL
+    items with the user's train items masked to -1e9; P/R/NDCG@K against
+    the user's full eval ground truth.  Deterministic (no eval RNG), so the
+    batched torch ranking below is semantics-identical to the reference's
+    per-user loop."""
+    indptr_tr, indices_tr = train_csr
+    indptr_ev, indices_ev = eval_csr
+    users = np.where(np.diff(indptr_ev) > 0)[0]
+    if len(users) == 0:
+        raise RuntimeError("No users with eval interactions.")
+    Kmax = max(KS)
+    sums = {K: [0.0, 0.0, 0.0] for K in KS}
+    with torch.no_grad():
+        user_emb, item_emb = model.tables()
+        for s in range(0, len(users), 512):
+            bu = users[s:s + 512]
+            scores = user_emb[torch.tensor(bu, dtype=torch.long)] @ item_emb.T
+            for bi, u in enumerate(bu):
+                ts, te = indptr_tr[u], indptr_tr[u + 1]
+                if te > ts:
+                    scores[bi, torch.tensor(indices_tr[ts:te],
+                                            dtype=torch.long)] = -1e9
+            top = torch.topk(scores, Kmax, dim=1).indices.numpy()
+            for bi, u in enumerate(bu):
+                gt = set(map(int, indices_ev[indptr_ev[u]:indptr_ev[u + 1]]))
+                hits = [1 if int(j) in gt else 0 for j in top[bi]]
+                for K in KS:
+                    hc = sum(hits[:K])
+                    dcg = sum(1.0 / math.log2(r + 2)
+                              for r, hh in enumerate(hits[:K]) if hh)
+                    idcg = sum(1.0 / math.log2(r + 2)
+                               for r in range(min(len(gt), K)))
+                    sums[K][0] += hc / K
+                    sums[K][1] += hc / max(len(gt), 1)
+                    sums[K][2] += dcg / idcg if idcg > 0 else 0.0
+    n_u = len(users)
+    return {K: {"precision": sums[K][0] / n_u, "recall": sums[K][1] / n_u,
+                "ndcg": sums[K][2] / n_u} for K in KS}
+
+
 def sample_neg_uniform(indptr, indices, user, num_items, rng):
     while True:
         j = int(rng.integers(0, num_items))
@@ -356,7 +397,7 @@ def sample_neg_popmix(indptr, indices, user, num_items, rng, pop_prob,
 
 
 def run(config, graph_npz, seed, epochs, eval_every, log,
-        cred_path=None, lambda_fair=0.0):
+        cred_path=None, lambda_fair=0.0, eval_mode="sampled"):
     z = np.load(graph_npz)
     train_edges, val_edges, test_edges = (z["train_edges"], z["val_edges"],
                                           z["test_edges"])
@@ -446,8 +487,11 @@ def run(config, graph_npz, seed, epochs, eval_every, log,
             total += float(loss.item())
             steps += 1
         if epoch % eval_every == 0:
-            val = evaluate_sampled(model, train_csr, val_csr, num_items,
-                                   seed, **eval_kw)
+            if eval_mode == "full":
+                val = evaluate_full(model, train_csr, val_csr, num_items)
+            else:
+                val = evaluate_sampled(model, train_csr, val_csr, num_items,
+                                       seed, **eval_kw)
             score = val[max(KS)]["recall"]
             log(f"[oracle {config} s{seed}] ep{epoch} loss={total/max(steps,1):.5f} "
                 f"valR@{max(KS)}={score:.4f}")
@@ -457,11 +501,14 @@ def run(config, graph_npz, seed, epochs, eval_every, log,
                               model.state_dict().items()}
     if best_state is not None:
         model.load_state_dict(best_state)
-    test = evaluate_sampled(model, train_csr, test_csr, num_items, seed,
-                            **eval_kw)
+    if eval_mode == "full":
+        test = evaluate_full(model, train_csr, test_csr, num_items)
+    else:
+        test = evaluate_sampled(model, train_csr, test_csr, num_items, seed,
+                                **eval_kw)
     return {"config": config, "seed": seed, "best_val": best_val,
             "test": test, "lambda_fair": lambda_fair,
-            "cred": cred_path or "ones"}
+            "eval_mode": eval_mode, "cred": cred_path or "ones"}
 
 
 def main():
@@ -477,6 +524,11 @@ def main():
     ap.add_argument("--cred", default=None,
                     help="npy cred vector path (default all-ones)")
     ap.add_argument("--lambda-fair", type=float, default=0.0)
+    ap.add_argument("--eval-mode", default="sampled",
+                    choices=["sampled", "full"],
+                    help="full = full-catalog masked ranking "
+                         "(lightgcn.py:459-509), used for the fast-mode "
+                         "parity column")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -489,7 +541,7 @@ def main():
         config, lam = "cred_eq322", (lam or 1e-2)
     res = run(config, args.graph, args.seed, args.epochs,
               args.eval_every, log, cred_path=args.cred,
-              lambda_fair=lam)
+              lambda_fair=lam, eval_mode=args.eval_mode)
     res["config"] = args.config
     res["seconds"] = time.time() - t0
     line = json.dumps(res)

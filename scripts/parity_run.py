@@ -82,7 +82,8 @@ def cmd_build(args):
 def cmd_framework(args):
     import numpy as np
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
     from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
         BipartiteGraph)
     from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
@@ -96,9 +97,21 @@ def cmd_framework(args):
                            train_edges=z["train_edges"],
                            val_edges=z["val_edges"],
                            test_edges=z["test_edges"])
+    fast_kw = {}
+    if args.fast:
+        # the RECOMMENDED throughput configuration head-to-head against
+        # the torch oracle (VERDICT r4 task 2): bf16 message stream +
+        # cached per-epoch propagation + approx/bf16 full-catalog eval.
+        # The oracle side must run --eval-mode full for the same protocol.
+        fast_kw = dict(spmm_precision="bf16",
+                       propagation_schedule="per_epoch",
+                       eval_mode="full", eval_topk="approx",
+                       eval_score_dtype="bf16")
+    if args.eval_mode:
+        fast_kw["eval_mode"] = args.eval_mode
     cfg = RecConfig(name=f"parity_{args.config}",
                     epochs=args.epochs, eval_every=args.eval_every,
-                    seed=args.seed, **CONFIG_MAP[args.config])
+                    seed=args.seed, **CONFIG_MAP[args.config], **fast_kw)
     cred = None
     if args.config in REAL_CRED:
         cred_path = args.cred or str(Path(args.graph).parent / "cred.npy")
@@ -111,6 +124,7 @@ def cmd_framework(args):
             for K, v in fit.test_metrics.items()}
     res = {"config": args.config, "seed": args.seed,
            "best_val": float(fit.best_val_recall), "test": test,
+           "fast": bool(args.fast), "eval_mode": cfg.eval_mode,
            "seconds": time.time() - t0}
     line = json.dumps(res)
     print(line)
@@ -200,6 +214,52 @@ def cmd_report(args):
                       f"{'REPRODUCED (real cred underperforms)' if ok else 'NOT reproduced'}"]
     lines += ["", "Raw run records: `runs/parity/oracle.jsonl`, "
               "`runs/parity/framework.jsonl`."]
+
+    # Fast-mode column (VERDICT r4 task 2): the RECOMMENDED throughput
+    # configuration — bf16 messages + per_epoch propagation + approx/bf16
+    # full-catalog eval — head-to-head against the SAME torch oracle run
+    # under the full-catalog protocol (both sides select on full val R@20).
+    oracle_full = _load_jsonl(d / "oracle_full.jsonl")
+    frame_fast = _load_jsonl(d / "framework_fast.jsonl")
+    if oracle_full and frame_fast:
+        lines += [
+            "", "## Fast-mode parity (bf16 + per_epoch + approx/bf16 "
+            "full eval vs exact-fp32 oracle)", "",
+            "Same shared graph; protocol = FULL-CATALOG masked ranking on "
+            "both sides (`parity_oracle.py --eval-mode full` / "
+            "`parity_run.py framework --fast --platform tpu`).  The "
+            "framework side runs the scaled_10m preset's throughput flags: "
+            "`spmm_precision=bf16 propagation_schedule=per_epoch "
+            "eval_topk=approx eval_score_dtype=bf16`.",
+            "",
+            "| Config | Metric | Oracle full/exact (mean +/- std, n) | "
+            "Framework fast (mean +/- std, n) | diff | tol(2x pooled std) "
+            "| verdict |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for config in ("vanilla", "cu_message", "pop_neg"):
+            for metric in ("recall", "ndcg"):
+                o = _agg(oracle_full, config, metric=metric)
+                f = _agg(frame_fast, config, metric=metric)
+                if o is None or f is None:
+                    lines.append(f"| {config} | {metric}@20 | | | | | "
+                                 "PENDING |")
+                    continue
+                diff = f[0] - o[0]
+                pooled = (o[1] ** 2 + f[1] ** 2) ** 0.5
+                tol = max(2 * pooled, 0.01, 0.01 * abs(o[0]))
+                verdict = "PASS" if abs(diff) <= tol else "FAIL"
+                lines.append(
+                    f"| {config} | {metric}@20 | {o[0]:.4f} +/- {o[1]:.4f} "
+                    f"(n={o[2]}) | {f[0]:.4f} +/- {f[1]:.4f} (n={f[2]}) | "
+                    f"{diff:+.4f} | {tol:.4f} | {verdict} |")
+        lines += ["", "Raw fast-mode records: `runs/parity/"
+                  "oracle_full.jsonl`, `runs/parity/framework_fast.jsonl`.",
+                  "", "NOTE: the `scaled_10m` preset's eval is APPROXIMATE "
+                  "BY DEFAULT (`eval_topk=approx eval_score_dtype=bf16`); "
+                  "parity/oracle runs must override `eval_topk=exact "
+                  "eval_score_dtype=fp32`.  All parity-mode rows above ran "
+                  "the exact defaults."]
     stage_a = Path("runs/cred_parity/stage_a.md")
     if stage_a.exists():
         lines += ["", stage_a.read_text().rstrip(),
@@ -232,6 +292,15 @@ def main():
     f.add_argument("--eval-every", type=int, default=2)
     f.add_argument("--out", default=None)
     f.add_argument("--verbose", action="store_true")
+    f.add_argument("--fast", action="store_true",
+                   help="recommended throughput flags: bf16 messages + "
+                        "per_epoch propagation + approx/bf16 full eval")
+    f.add_argument("--eval-mode", default=None,
+                   choices=[None, "sampled", "full"])
+    f.add_argument("--platform", default="cpu",
+                   choices=["cpu", "tpu", "default"],
+                   help="tpu required for --fast (bf16 message kernels "
+                        "are pallas-only)")
     f.set_defaults(fn=cmd_framework)
 
     r = sub.add_parser("report")

@@ -106,3 +106,23 @@ def test_cli_train_cred_artifacts_and_merge(tmp_path):
               "--graph", str(tmp_path / "graph.npz"),
               "--out", str(tmp_path / "merged.csv")])
     assert (tmp_path / "merged.csv").exists()
+
+
+def test_cli_train_cred_resume(tmp_path, capsys):
+    """VERDICT r4 task 6: train-cred --checkpoint/--resume/--mesh reach the
+    CredTrainer capabilities from the product CLI."""
+    jsonl = tmp_path / "r.jsonl"
+    _write_demo_jsonl(jsonl, n=400, seed=3)
+    cli_main(["train-cred", "--jsonl", str(jsonl), "--out", str(tmp_path),
+              "--checkpoint", "--mesh", "8",
+              "epochs=2", "batch_size=32"])
+    assert (tmp_path / "cred_ckpt").exists()
+    capsys.readouterr()
+    # resume continues past the checkpointed epoch instead of restarting
+    cli_main(["train-cred", "--jsonl", str(jsonl), "--out", str(tmp_path),
+              "--checkpoint", "--resume", "--mesh", "8",
+              "epochs=4", "batch_size=32"])
+    out = capsys.readouterr().out
+    assert "resumed at epoch 3" in out
+    assert "Epoch 01" not in out
+    assert (tmp_path / "credibility_scores_minmax_with_user_id.csv").exists()

@@ -138,3 +138,47 @@ def test_build_edge_maps_dispatch(small_graph):
     assert len(pair) == 2
     with pytest.raises(ValueError):
         ops.build_edge_maps(small_graph, "nope")
+
+
+def test_planted_graph_structure_and_skew():
+    """VERDICT r4 task 1: the planted-structure generator must (a) embed a
+    learnable user-item affinity — a user's edges concentrate in their
+    latent fine cluster — while (b) preserving the Zipf popularity skew
+    the kernels are load-balanced for."""
+    import numpy as np
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+        synthetic_bipartite_graph, synthetic_bipartite_graph_planted)
+
+    g = synthetic_bipartite_graph_planted(
+        2_000, 4_000, 16.0, seed=3, power=1.0,
+        coarse_clusters=8, fine_per_coarse=8, mix=(0.55, 0.25, 0.20))
+    C = 64
+    u, it = g.train_edges
+    item_fine = np.arange(g.num_items) % C
+
+    # (a) per-user modal-fine-cluster concentration far above the uniform
+    # 1/C baseline (draws are ~55% within one of 64 clusters)
+    order = np.argsort(u, kind="stable")
+    us, efs = u[order], item_fine[it[order]]
+    bounds_lo = np.searchsorted(us, np.arange(g.num_users))
+    bounds_hi = np.searchsorted(us, np.arange(g.num_users) + 1)
+    fracs = []
+    for k in range(g.num_users):
+        s, e = bounds_lo[k], bounds_hi[k]
+        if e - s < 6:
+            continue
+        counts = np.bincount(efs[s:e], minlength=C)
+        fracs.append(counts.max() / (e - s))
+    assert np.mean(fracs) > 0.30, np.mean(fracs)
+
+    # (b) popularity skew comparable to the flat zipf generator
+    pop = np.bincount(it, minlength=g.num_items)
+    g0 = synthetic_bipartite_graph(2_000, 4_000, 16.0, seed=3, power=1.0)
+    pop0 = np.bincount(g0.train_edges[1], minlength=g0.num_items)
+    assert pop.max() > 10 * max(pop.mean(), 1.0)
+    assert pop.max() > 0.3 * pop0.max()
+
+    # splits are disjoint and cover all edges
+    ntot = (g.train_edges.shape[1] + g.val_edges.shape[1]
+            + g.test_edges.shape[1])
+    assert 0.75 < g.train_edges.shape[1] / ntot < 0.85
