@@ -310,7 +310,7 @@ def evaluate_sampled(key: jax.Array, user_emb: jax.Array, item_emb: jax.Array,
     if users.size == 0:
         raise RuntimeError(f"No users with {split} interactions.")
     eval_csr = ctx.split_csr(split)
-    acc = _Accumulator(Ks, extended)
+    acc = _Accumulator(Ks, extended, num_items=ctx.graph.num_items)
     max_deg = int(max(ctx.graph.user_csr("train").degrees().max(initial=1),
                       ctx.graph.user_csr(split).degrees().max(initial=1)))
     rounds = rejection_rounds(max_deg, ctx.graph.num_items)

@@ -175,3 +175,28 @@ def test_checkpoint_retention_and_cadence(tmp_path):
     got = ck.restore(template={"params": {"w": jnp.zeros((4, 2))}, "epoch": 0})
     assert int(got["epoch"]) == 10
     ck.close()
+
+
+def test_format_metrics_block_extended_without_cred(small_graph):
+    """Advisor r3: extended results computed with cred=None lack the
+    cred-group fields; the formatter must not KeyError."""
+    import jax
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.eval.ranking import (
+        EvalContext, evaluate_full)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.models.lightgcn import (
+        LightGCN, init_params)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
+        format_metrics_block)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.utils.config import (
+        RecConfig)
+
+    cfg = RecConfig(emb_dim=8, num_layers=1)
+    model = LightGCN(cfg, small_graph)
+    params = init_params(jax.random.PRNGKey(0), cfg, small_graph.num_users,
+                         small_graph.num_items)
+    ue, ie = model.propagate(params)
+    ctx = EvalContext.build(small_graph)
+    res = evaluate_full(ue, ie, ctx, "test", Ks=(5,), extended=True,
+                        cred=None)
+    block = format_metrics_block("TEST", res)
+    assert "COV=" in block and "CredU=" not in block
