@@ -277,17 +277,23 @@ class ShardedSpmmOperator:
         self.dst_layout = dst_layout
 
         def plan_one(src, dst, w, sl, dl):
+            """Returns (plan, mode, halo_h_max_considered).  In auto mode
+            the halo plan is always built for the volume comparison; its
+            true h_max is kept even when allgather wins, because the
+            discarded plan's h_max is the number scaling analyses need
+            (the final allgather plan reports a placeholder h_max=1)."""
             if mode != "auto":
-                return _plan_dir(src, dst, w, sl, dl, mesh, mode), mode
+                p = _plan_dir(src, dst, w, sl, dl, mesh, mode)
+                return p, mode, (p.h_max if mode == "halo" else None)
             p = _plan_dir(src, dst, w, sl, dl, mesh, "halo")
             if n_dev * n_dev * p.h_max <= (n_dev - 1) * sl.padded_rows:
-                return p, "halo"
+                return p, "halo", p.h_max
             return _plan_dir(src, dst, w, sl, dl, mesh, "allgather"), \
-                "allgather"
+                "allgather", p.h_max
 
-        self._fwd, self._fwd_mode = plan_one(
+        self._fwd, self._fwd_mode, fwd_halo_h_max = plan_one(
             edge_map.src, edge_map.dst, edge_map.w, src_layout, dst_layout)
-        self._bwd, self._bwd_mode = plan_one(
+        self._bwd, self._bwd_mode, bwd_halo_h_max = plan_one(
             edge_map.dst, edge_map.src, edge_map.w, dst_layout, src_layout)
         self.pad_fraction = self._fwd.pad_fraction
 
@@ -315,11 +321,15 @@ class ShardedSpmmOperator:
             "fwd": {"edge_counts": list(self._fwd.edge_counts),
                     "e_max": self._fwd.e_max,
                     "pad_fraction": self._fwd.pad_fraction,
-                    "h_max": self._fwd.h_max},
+                    "h_max": self._fwd.h_max,
+                    # true halo h_max even when auto picked allgather
+                    # (the built allgather plan carries a placeholder 1)
+                    "halo_h_max_considered": fwd_halo_h_max},
             "bwd": {"edge_counts": list(self._bwd.edge_counts),
                     "e_max": self._bwd.e_max,
                     "pad_fraction": self._bwd.pad_fraction,
-                    "h_max": self._bwd.h_max},
+                    "h_max": self._bwd.h_max,
+                    "halo_h_max_considered": bwd_halo_h_max},
             # per-application collective volume in row-slots of width D
             "halo_rows": int(n_dev * n_dev * self._fwd.h_max),
             "allgather_rows": int((n_dev - 1) * src_layout.padded_rows),

@@ -54,7 +54,7 @@ def main():
     t_native = time.perf_counter() - t0
     out["native_s"] = t_native
     out["native_mlines_per_s"] = args.lines / t_native / 1e6
-    out["rows_kept"] = int(table.users.shape[0])
+    out["rows_kept"] = int(table.uidx.shape[0])
     print(f"native: {t_native:.1f}s "
           f"({out['native_mlines_per_s']:.2f} M lines/s)", file=sys.stderr)
 

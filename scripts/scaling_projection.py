@@ -89,14 +89,18 @@ def plan_volumes(graph, n_model):
     for name, em in (("item_from_user", ifu_map), ("user_from_item", ufi_map)):
         op = ShardedSpmmOperator(em, mesh, mode="auto")
         s = op.stats
+        # halo_h_max_considered is the TRUE halo plan's h_max — recorded
+        # by the auto decision even when allgather wins (the built
+        # allgather plan's own h_max field is a placeholder 1).
+        halo_h_max = s["fwd"]["halo_h_max_considered"]
         per_chip_rows = {
-            "halo": n_model * s["fwd"]["h_max"],                # rows recv'd
+            "halo": n_model * halo_h_max,                       # rows recv'd
             "allgather": (n_model - 1) * s["src_padded_rows"] // n_model,
         }
         mode = s["fwd_mode"]
         out[name] = {
             "mode": mode,
-            "h_max": s["fwd"]["h_max"],
+            "h_max": halo_h_max,
             "src_padded_rows": s["src_padded_rows"],
             "rows_per_chip": per_chip_rows[mode],
             "rows_per_chip_halo": per_chip_rows["halo"],

@@ -166,3 +166,24 @@ def test_halo_volume_below_allgather(mesh, rng):
     halo = Op(em, mesh, mode="halo")
     ag = Op(em, mesh, mode="allgather")
     assert halo.collective_rows < ag.collective_rows
+
+
+def test_auto_mode_records_true_halo_h_max(mesh, rng):
+    """In mode="auto" the stats must carry the CONSIDERED halo plan's
+    h_max even for directions where allgather won — the built allgather
+    plan's own h_max field is a placeholder 1, and scaling analyses
+    (scripts/scaling_projection.py) need the real alternative volume."""
+    em = _random_edge_map(rng, num_src=67, num_dst=93, E=700)
+    auto = ShardedSpmmOperator(em, mesh, mode="auto")
+    halo = ShardedSpmmOperator(em, mesh, mode="halo")
+    for d in ("fwd", "bwd"):
+        assert auto.stats[d]["halo_h_max_considered"] == \
+            halo.stats[d]["h_max"]
+        assert halo.stats[d]["halo_h_max_considered"] == \
+            halo.stats[d]["h_max"]
+    # dense source on 8 devices: every span needs ~all 67 source rows, so
+    # P*P*h_max >> (P-1)*padded_rows and auto must pick allgather — the
+    # placeholder-vs-considered distinction is actually exercised.
+    assert auto.stats["fwd_mode"] == "allgather"
+    assert auto.stats["fwd"]["h_max"] == 1
+    assert auto.stats["fwd"]["halo_h_max_considered"] > 1
