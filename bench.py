@@ -190,6 +190,83 @@ def time_step(step, params, opt_state, iters: int, warmup: int = 3):
     return dt, float(loss)
 
 
+def bench_northstar(iters: int = 3):
+    """The 10M-edge north-star operating point (VERDICT r4 item 6): the
+    scaled_10m preset AS SHIPPED (bf16 messages, per_epoch cached
+    propagation) on the planted 10M-edge graph.  Returns a dict for a
+    second JSON line so BENCH_r*.json's tail records the operating point
+    every round instead of round-1 SUMMARY prose.
+
+    Definitions (stated because they differ from the headline metric):
+      * value = E * 2K / propagate_s — edge traversals per second of ONE
+        cached K-layer bipartite propagation (forward only: the per_epoch
+        cache is under stop_gradient, so no backward SpMM exists at this
+        operating point);
+      * epoch_s = full jitted training epoch (propagate + 62 scanned
+        cached-BPR steps + epoch-hoisted sampling).
+    The headline metric instead counts fwd+bwd traversals of the
+    per_batch reference-parity step at reference scale."""
+    import jax
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.configs.presets import (
+        get_preset)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+        synthetic_bipartite_graph_planted)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
+        RecTrainer)
+
+    t0 = time.perf_counter()
+    graph = synthetic_bipartite_graph_planted(
+        500_000, 1_000_000, 20.0, seed=0, power=1.0,
+        coarse_clusters=16, fine_per_coarse=16, mix=(0.55, 0.25, 0.20))
+    log(f"[bench] northstar graph: {graph.summary()} "
+        f"({time.perf_counter()-t0:.0f}s to build)")
+    cfg = get_preset("scaled_10m", epochs=2, seed=0)
+    tr = RecTrainer(cfg, graph, verbose=False)
+    params, opt_state, key = tr.init_state()
+    bundle = tr.train_state_bundle()
+    epoch_fn = tr._build_epoch_fn()
+
+    prop = lambda: tr._propagate_fn(params, tr.model.state)
+    jax.block_until_ready(prop())          # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = prop()
+    jax.block_until_ready(out)
+    t_prop = (time.perf_counter() - t0) / iters
+
+    state = [params, opt_state, key]
+
+    def one_epoch():
+        p, o, k, loss = epoch_fn(state[0], state[1], state[2],
+                                 tr.train_users_dev, bundle)
+        state[0], state[1], state[2] = p, o, k
+        return loss
+    jax.block_until_ready(one_epoch())     # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss = one_epoch()
+    jax.block_until_ready(loss)
+    t_epoch = (time.perf_counter() - t0) / iters
+
+    E = graph.train_edges.shape[1]
+    K = cfg.num_layers
+    value = E * 2 * K / t_prop
+    log(f"[bench] northstar scaled_10m ({cfg.spmm_precision} messages, "
+        f"per_epoch): propagate {t_prop*1e3:.1f} ms "
+        f"({value/1e6:.1f}M edges/s), epoch {t_epoch:.3f} s")
+    return {
+        "metric": "northstar_propagation_edges_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "edges/s",
+        "definition": "E*2K/propagate_s, one cached K-layer bipartite "
+                      "propagation, scaled_10m preset as shipped "
+                      f"(spmm_precision={cfg.spmm_precision}, D="
+                      f"{cfg.emb_dim}, K={K}, E={E})",
+        "propagate_s": round(t_prop, 4),
+        "epoch_s": round(t_epoch, 4),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="ref", choices=["small", "ref", "large"])
@@ -211,6 +288,9 @@ def main():
                     help="epoch: time the real RecTrainer scanned epoch "
                     "(amortized per-step; the headline). step: one isolated "
                     "jitted train step (per-batch sampling included).")
+    ap.add_argument("--no-northstar", action="store_true",
+                    help="skip the 10M-edge scaled_10m operating-point "
+                    "measurement (second JSON line; TPU default run only)")
     args = ap.parse_args()
 
     import jax
@@ -302,6 +382,18 @@ def main():
     }
     if vs_same is not None:
         out["vs_baseline_same_precision"] = round(vs_same, 3)
+
+    # North-star operating point as a second JSON line BEFORE the headline
+    # (the driver parses the LAST line; both land in the recorded tail).
+    # TPU default-scale runs only: the 10M planted graph on CPU would take
+    # tens of minutes for a number that isn't the CPU path's to claim.
+    if (not args.no_northstar and platform == "tpu"
+            and args.scale == "ref" and args.mode == "epoch"):
+        try:
+            print(json.dumps(bench_northstar()))
+        except Exception as e:          # never sink the headline metric
+            log(f"[bench] northstar measurement failed: {e!r}")
+
     print(json.dumps(out))
 
 

@@ -83,14 +83,21 @@ scaled_10m = _register(RecConfig(
     emb_dim=128, num_layers=4, batch_size=8192, epochs=50,
     eval_mode="full", propagation_schedule="per_epoch",
     spmm_backend="auto",
+    # bf16 message stream (fp32 accumulation) is part of the shipped
+    # flagship: the fast-mode parity column (docs/QUALITY_PARITY.md,
+    # 6/6 PASS vs the exact-fp32 torch oracle) was run under exactly
+    # these flags to justify it, and the scaling projection's collective
+    # volumes assume 2-byte rows (docs/SCALING.md).  VERDICT r4 item 1.
+    spmm_precision="bf16",
     # approx_max_k + bf16 score eval: metrics identical to the exact fp32
     # protocol to all printed digits at this scale, 2.96x faster end to
     # end (756.7 -> 255.3 s/12-epoch protocol, runs/SUMMARY.md round 3).
     # NOTE this preset's eval is therefore APPROXIMATE BY DEFAULT —
     # parity/oracle runs must override eval_topk=exact
-    # eval_score_dtype=fp32 (docs/QUALITY_PARITY.md).  Under --mesh the
-    # sharded top-k is always exact fp32 and these two knobs are ignored
-    # (eval/ranking.py:_warn_mesh_exact_once).
+    # eval_score_dtype=fp32 (docs/QUALITY_PARITY.md).  Under --mesh both
+    # flags are honored too: the sharded top-k runs approx local top-k /
+    # bf16 shard matmuls with an exact final merge
+    # (parallel/sharded_topk.py).
     eval_topk="approx",
     eval_score_dtype="bf16",
 ))

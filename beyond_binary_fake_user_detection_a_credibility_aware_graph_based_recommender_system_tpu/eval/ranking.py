@@ -285,20 +285,6 @@ class _Accumulator:
         return out
 
 
-_MESH_EXACT_WARNED = False
-
-
-def _warn_mesh_exact_once():
-    """Mesh evaluation always runs the distributed top-k exact in fp32 —
-    say so ONCE when the config asked for approx/bf16 so the configured
-    single-chip eval speedup isn't silently lost."""
-    global _MESH_EXACT_WARNED
-    if not _MESH_EXACT_WARNED:
-        _MESH_EXACT_WARNED = True
-        print("[eval] mesh full-catalog eval ignores eval_topk/"
-              "eval_score_dtype: the sharded top-k merge is exact fp32")
-
-
 def evaluate_sampled(key: jax.Array, user_emb: jax.Array, item_emb: jax.Array,
                      ctx: EvalContext, split: str, Ks: Sequence[int] = (10, 20),
                      n_negatives: int = 99, batch: int = 4096,
@@ -336,22 +322,24 @@ def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
 
     With ``mesh``, the score matmul + masked top-k run column-sharded over
     the model axis with a distributed merge (parallel/sharded_topk.py) —
-    the SURVEY §3.5 hot-loop-3 north star."""
+    the SURVEY §3.5 hot-loop-3 north star.  ``topk``/``score_dtype`` are
+    honored on BOTH branches: single-chip via the fused metric kernel's
+    approx/bf16 paths, mesh via the per-shard approx local top-k + bf16
+    shard matmul with an exact final merge (VERDICT r4 item 4)."""
     users = ctx.eval_users[split] if split in ctx.eval_users else \
         np.nonzero(ctx.graph.user_csr(split).degrees() > 0)[0]
     if users.size == 0:
         raise RuntimeError(f"No users with {split} interactions.")
     eval_csr = ctx.split_csr(split)
     acc = _Accumulator(Ks, extended, num_items=ctx.graph.num_items)
-    if mesh is not None and (topk != "exact" or score_dtype != "fp32"):
-        _warn_mesh_exact_once()
     for bu, bu_host, n_valid in _batched(users, batch):
         excl = jnp.asarray(ctx.train_exclusion_rows(bu_host))
         if mesh is not None:
             from .retrieval import topk_for_users
             _, topk_items = topk_for_users(
                 user_emb, item_emb, bu, max(Ks),
-                exclude_batch_rows=excl, mesh=mesh)
+                exclude_batch_rows=excl, mesh=mesh,
+                topk_method=topk, score_dtype=score_dtype)
             per_user, topk_items, logpop, selfinfo = _full_metrics_from_topk(
                 topk_items, bu, eval_csr, ctx.item_pop_dev, tuple(Ks),
                 extended, ctx.total_train, ctx.graph.num_items)

@@ -65,14 +65,20 @@ def topk_for_users(user_emb: jax.Array, item_emb: jax.Array,
                    users: jax.Array, k: int,
                    exclude_rows: Optional[jax.Array] = None,
                    exclude_batch_rows: Optional[jax.Array] = None,
-                   mesh=None, _sharded_cache={}) -> Tuple[jax.Array, jax.Array]:
+                   mesh=None, topk_method: str = "exact",
+                   score_dtype: str = "fp32",
+                   _sharded_cache={}) -> Tuple[jax.Array, jax.Array]:
     """(scores (B,k), item ids (B,k)).
 
     ``exclude_rows``: (U, Pmax) padded exclusion table (pad = num_items);
     ``exclude_batch_rows``: pre-gathered (B, Pb) rows for THIS batch
     (:func:`exclusion_rows_for_users`) — the O(B*Pb)-memory path the
     evaluators use.  With ``mesh``, scoring runs row-sharded over the model
-    axis with a distributed top-k merge.
+    axis with a distributed top-k merge; ``topk_method``/``score_dtype``
+    select the per-shard fast modes (parallel/sharded_topk.py) and are
+    honored on the mesh path (VERDICT r4 item 4).  The single-device
+    branch ignores them (eval/ranking.py handles the single-chip fast
+    paths with its fused metric kernel).
     """
     num_items = item_emb.shape[0]
     u = user_emb[users]
@@ -88,7 +94,8 @@ def topk_for_users(user_emb: jax.Array, item_emb: jax.Array,
         if st is None:
             st = ShardedTopK(mesh, num_items)
             _sharded_cache[key] = st
-        return st.topk(u, st.pad_items(item_emb), k, exclude=excl)
+        return st.topk(u, st.pad_items(item_emb), k, exclude=excl,
+                       method=topk_method, score_dtype=score_dtype)
 
     scores = u @ item_emb.T                                   # (B, I)
     if excl is not None:

@@ -207,11 +207,17 @@ def synthetic_bipartite_graph_planted(
       * ``mix[1]``: the user's COARSE cluster (ditto),
       * ``mix[2]``: the global Zipf (popularity noise floor).
 
-    A recommender learns the coarse structure early (large gains) and the
-    fine structure over many more epochs (items/fine-cluster >> per-user
-    degree), so full-catalog VAL metrics keep strictly improving — a
-    MOVING metric surface on which top-K set overlap between eval modes
-    is meaningful.  Item popularity stays Zipf(power) marginally: cluster
+    What this buys, measured at the 10M scale
+    (`runs/eval_equiv_r4/train_exact.json`): VAL R@20 climbs steeply for
+    ~4-5 epochs (0.043 -> 0.080) then saturates with 1e-4-level
+    epoch-to-epoch jitter (6/11 strict improvements over 12 epochs) — a
+    surface with learnable structure and borderline top-K boundaries,
+    unlike the plain generator whose metrics freeze BIT-IDENTICAL from
+    epoch 3.  It does NOT keep strictly improving for 10+ epochs; the
+    eval-fast-path certification therefore rests on the per-user
+    top-K set-overlap instrument computed on the same params (Jaccard@20,
+    scripts/eval_equiv_r4.py), not on metric movement
+    (VERDICT r4 item 7).  Item popularity stays Zipf(power) marginally: cluster
     ids are assigned round-robin over the popularity ranks, so every
     cluster spans head and tail items and the degree-skew properties the
     kernels are load-balanced for (SURVEY.md §7) are preserved.

@@ -290,5 +290,14 @@ def gumbel_topk(key: jax.Array, logits: jax.Array, k: int,
     scored = logits + g
     if mask is not None:
         scored = jnp.where(mask, scored, -jnp.inf)
+    if k > scored.shape[-1]:
+        # candidate pool narrower than k (e.g. a capped slas_pad_deg below
+        # k_item_neigh): take the whole pool, pad to k with invalid slots
+        # (-inf scores — callers mask on isfinite)
+        vals, idx = jax.lax.top_k(scored, scored.shape[-1])
+        pad = k - scored.shape[-1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        return idx, vals
     vals, idx = jax.lax.top_k(scored, k)
     return idx, vals

@@ -45,11 +45,14 @@ def _padded_rows(indptr: np.ndarray, indices: np.ndarray, edge_ids,
     """(N, pad_deg) neighbor table + matching edge-id table (host, once).
 
     Vectorized scatter fill — no per-row Python loop (the 10M-node configs
-    make O(N) host loops a real cost, VERDICT r1 item 9)."""
+    make O(N) host loops a real cost, VERDICT r1 item 9).  Edge ids are
+    int32 (E < 2^31 everywhere this framework runs; the (I, P) table at
+    the 10M north star is GB-scale, so the eid width matters)."""
     N = indptr.shape[0] - 1
+    assert indices.shape[0] < 2 ** 31
     if indices.shape[0] == 0:
         return (np.full((N, pad_deg), pad_value, np.int32),
-                np.full((N, pad_deg), -1, np.int64))
+                np.full((N, pad_deg), -1, np.int32))
     deg = np.diff(indptr)
     offs = np.arange(pad_deg, dtype=np.int64)[None, :]        # (1, P)
     valid = offs < np.minimum(deg, pad_deg)[:, None]          # (N, P)
@@ -57,9 +60,9 @@ def _padded_rows(indptr: np.ndarray, indices: np.ndarray, edge_ids,
                       max(indices.shape[0] - 1, 0))
     out = np.where(valid, indices[flat], pad_value).astype(np.int32)
     if edge_ids is not None:
-        eid = np.where(valid, edge_ids[flat], -1).astype(np.int64)
+        eid = np.where(valid, edge_ids[flat], -1).astype(np.int32)
     else:
-        eid = np.full((N, pad_deg), -1, np.int64)
+        eid = np.full((N, pad_deg), -1, np.int32)
     return out, eid
 
 
@@ -80,7 +83,17 @@ class SlasSampler:
     @classmethod
     def build(cls, hg: HeteroGraph, cfg: Optional[CredConfig] = None,
               pad_deg: Optional[int] = None) -> "SlasSampler":
+        """``pad_deg`` (or ``cfg.slas_pad_deg``): candidate-pool width per
+        node.  Default None = the graph's max degree — exact reference
+        candidate sets (every neighbor is a candidate, main.py:758-807).
+        At the 10M north star the zipf head item has ~1e5 neighbors, so a
+        max-degree (I, P) table is memory-infeasible; a cap keeps the
+        FIRST ``pad_deg`` CSR neighbors (item-id order) as the Gumbel
+        top-k candidate pool — a documented scale deviation, opt-in via
+        CredConfig.slas_pad_deg (runs/two_stage_10m measures it)."""
         cfg = cfg or CredConfig()
+        if pad_deg is None:
+            pad_deg = cfg.slas_pad_deg
         u = hg.edges[0].astype(np.int64)
         i = hg.edges[1].astype(np.int64)
         E = u.shape[0]

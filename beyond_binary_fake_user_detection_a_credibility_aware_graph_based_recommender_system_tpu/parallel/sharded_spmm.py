@@ -330,8 +330,14 @@ class ShardedSpmmOperator:
                     "pad_fraction": self._bwd.pad_fraction,
                     "h_max": self._bwd.h_max,
                     "halo_h_max_considered": bwd_halo_h_max},
-            # per-application collective volume in row-slots of width D
-            "halo_rows": int(n_dev * n_dev * self._fwd.h_max),
+            # per-application collective volume in row-slots of width D.
+            # halo_rows uses the TRUE halo h_max: when auto picked
+            # allgather the built plan's h_max is a placeholder 1, so fall
+            # back to the considered value (ADVICE r4 — the same trap the
+            # scaling projection hit).
+            "halo_rows": int(n_dev * n_dev * (
+                fwd_halo_h_max if fwd_halo_h_max is not None
+                else self._fwd.h_max)),
             "allgather_rows": int((n_dev - 1) * src_layout.padded_rows),
         }
 

@@ -26,6 +26,7 @@ view, min-max normalization (constant -> zeros), ``credibility_scores.npy``
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -64,12 +65,17 @@ class CredTrainer:
         self.verbose = verbose
         self.mesh = mesh
         if mesh is not None and operator_factory is None:
-            import functools
             from ..parallel.sharded_spmm import ShardedSpmmOperator
             operator_factory = functools.partial(ShardedSpmmOperator,
                                                  mesh=mesh)
-        self.model = CredModel(hg, self.cfg, backend=backend,
-                               operator_factory=operator_factory)
+        # slas mode never touches the full-graph temporal-view operators —
+        # skipping them saves 3 views x 2 E-sized operators (~1 GB device
+        # + ~20 s construction at the 10M north star).  Kept under a mesh
+        # (sharded full-graph inference stays available there).
+        self.model = None
+        if self.cfg.trainer_mode != "slas" or mesh is not None:
+            self.model = CredModel(hg, self.cfg, backend=backend,
+                                   operator_factory=operator_factory)
         self.slas_data = None
         if self.cfg.trainer_mode == "slas":
             from ..models.cred_slas import build_slas_graph_data
@@ -94,10 +100,23 @@ class CredTrainer:
 
         self.user_y = jnp.asarray(hg.user_y)
         self._epoch_fn = None
+        self._slas_batch_fn = None
 
     def _log(self, msg):
         if self.verbose:
             print(msg)
+
+    def _init_params(self, key) -> Params:
+        if self.model is not None:
+            return self.model.init(key)
+        from ..models.cred_model import init_cred_params
+        return init_cred_params(key, self.hg.user_x.shape[1],
+                                self.hg.item_x.shape[1],
+                                self.cfg.hidden_dim)
+
+    @property
+    def _model_state(self):
+        return self.model.state if self.model is not None else None
 
     # ------------------------------------------------------------------
     def _loss(self, params: Params, seed_users: jax.Array, mask: jax.Array,
@@ -198,13 +217,12 @@ class CredTrainer:
         if self.holdout_users.size == 0:
             return {"bce": float("nan"), "auc": float("nan")}
         if self.cfg.trainer_mode == "slas":
-            from ..models.cred_slas import slas_forward
-            pred, _, _, _ = jax.jit(slas_forward, static_argnums=(4, 5, 6))(
-                params, self.slas_data,
-                jnp.asarray(self.holdout_users, jnp.int32),
-                jax.random.PRNGKey(self.cfg.seed + 77), "early",
-                self.cfg.k_item_neigh, self.cfg.k_user_neigh)
-            scores = np.asarray(pred)
+            # batched: one (B*Ki, Ku, H) neighborhood tensor per chunk —
+            # an all-at-once holdout forward is GB-scale at the 10M north
+            # star (200K labeled users -> 40K holdout seeds)
+            scores = self._slas_scores_batched(
+                params, self.holdout_users,
+                jax.random.PRNGKey(self.cfg.seed + 77), view="early")
         else:
             pred, _, _ = jax.jit(self.model.forward, static_argnums=(1,))(
                 params, "early", self.model.state)
@@ -231,7 +249,7 @@ class CredTrainer:
         epochs = cfg.epochs if epochs is None else epochs
         key = jax.random.PRNGKey(cfg.seed)
         key, kinit = jax.random.split(key)
-        params = self.model.init(kinit)
+        params = self._init_params(kinit)
         opt_state = self.optimizer.init(params)
         start_epoch = 1
 
@@ -253,7 +271,7 @@ class CredTrainer:
         for ep in range(start_epoch, epochs + 1):
             t0 = time.perf_counter()
             params, opt_state, key, loss = self._epoch_fn(
-                params, opt_state, key, self.model.state)
+                params, opt_state, key, self._model_state)
             loss = float(loss)
             hm = self.holdout_metrics(params)
             history.append({"epoch": ep, "loss": loss,
@@ -282,6 +300,36 @@ class CredTrainer:
         return CredFitResult(params=params, cred_raw=cred_raw,
                              cred_minmax=cred_minmax, history=history)
 
+    def _slas_scores_batched(self, params: Params, users: np.ndarray,
+                             key: jax.Array, view: Optional[str] = None
+                             ) -> np.ndarray:
+        """Scores for ``users`` via fixed-size sampled-neighborhood
+        batches (one compiled shape; bounded (B*Ki, Ku, H) peak)."""
+        from ..models.cred_slas import slas_forward
+        cfg = self.cfg
+        B = min(cfg.batch_size, max(users.size, 1))
+
+        if self._slas_batch_fn is None:
+            @functools.partial(jax.jit, static_argnames=("view",))
+            def batch_fn(params, seeds, key, view=None):
+                cred, _, _, _ = slas_forward(params, self.slas_data, seeds,
+                                             key, view, cfg.k_item_neigh,
+                                             cfg.k_user_neigh)
+                return cred
+            self._slas_batch_fn = batch_fn
+
+        out = np.zeros(users.size, np.float32)
+        for s in range(0, users.size, B):
+            seeds = users[s:s + B].astype(np.int64)
+            n = seeds.size
+            pad = np.zeros(B - n, np.int64)
+            key, kb = jax.random.split(key)
+            cred = self._slas_batch_fn(
+                params, jnp.asarray(np.concatenate([seeds, pad]), jnp.int32),
+                kb, view=view)
+            out[s:s + n] = np.asarray(cred)[:n]
+        return out
+
     def infer(self, params: Params) -> jax.Array:
         """Inference with no temporal view (main.py:965-984).  slas mode
         scores users batch-wise on sampled neighborhoods (reference
@@ -290,29 +338,10 @@ class CredTrainer:
             cred, _, _ = jax.jit(self.model.forward, static_argnums=(1,))(
                 params, None, self.model.state)
             return cred
-        from ..models.cred_slas import slas_forward
-        cfg = self.cfg
         U = self.hg.num_users
-        B = min(cfg.batch_size, U)
-        nb = -(-U // B)
-
-        @jax.jit
-        def batch_fn(params, seeds, key):
-            cred, _, _, _ = slas_forward(params, self.slas_data, seeds, key,
-                                         None, cfg.k_item_neigh,
-                                         cfg.k_user_neigh)
-            return cred
-
-        out = np.zeros(U, np.float32)
-        key = jax.random.PRNGKey(cfg.seed + 1234)
-        for s in range(0, nb * B, B):
-            seeds = np.arange(s, min(s + B, U), dtype=np.int64)
-            pad = np.zeros(B - seeds.size, np.int64)
-            key, kb = jax.random.split(key)
-            cred = batch_fn(params, jnp.asarray(np.concatenate([seeds, pad]),
-                                                jnp.int32), kb)
-            out[seeds] = np.asarray(cred)[:seeds.size]
-        return jnp.asarray(out)
+        return jnp.asarray(self._slas_scores_batched(
+            params, np.arange(U, dtype=np.int64),
+            jax.random.PRNGKey(self.cfg.seed + 1234), view=None))
 
     # ------------------------------------------------------------------
     def export(self, result: CredFitResult, out_dir) -> Dict[str, str]:

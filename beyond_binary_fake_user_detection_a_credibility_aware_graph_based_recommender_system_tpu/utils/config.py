@@ -149,9 +149,9 @@ class RecConfig(ConfigBase):
     # "approx" = lax.approx_max_k (TPU PartialReduce, recall 0.99/entry)
     # — the exact (B, I) sort is ~70% of full-eval time at 10M items
     # (106.6 -> 39.2 ms/batch measured; scripts/probe_topk.py).
-    # Mesh evaluation ignores BOTH eval_topk and eval_score_dtype: the
-    # distributed top-k merge is always exact fp32 (a one-time warning is
-    # printed when a fast setting would be dropped).
+    # Mesh evaluation honors BOTH eval_topk and eval_score_dtype: the
+    # per-shard local top-k / shard matmul run approx/bf16 and the
+    # distributed merge stays exact fp32 (parallel/sharded_topk.py).
     eval_topk: str = "exact"
     # full-catalog score matmul + ranking dtype: "bf16" halves score-matrix
     # bandwidth (single-chip path only; measured quality in runs/SUMMARY.md)
@@ -248,6 +248,12 @@ class CredConfig(ConfigBase):
     gamma: float = 1.0
     slas_kappa: float = 3.0
     slas_upweight_labeled: float = 1.0
+    # SLAS candidate-pool width per node: None = graph max degree (exact
+    # reference candidate sets).  REQUIRED at the 10M north star, where a
+    # max-degree (I, P) neighbor table is memory-infeasible (zipf head
+    # item ~1e5 neighbors); a cap keeps the first N CSR neighbors as the
+    # Gumbel-top-k pool (ops/slas.py:SlasSampler.build).
+    slas_pad_deg: Optional[int] = None
     k_user_neigh: int = 15
     k_item_neigh: int = 15
     lambda_smooth: float = 0.1

@@ -169,10 +169,14 @@ def cmd_report(args):
         "semantics (/root/reference/lightgcn.py:515-632, "
         "version_1/lightgcn_cu_message.py:391-452, "
         "version_1/lightgcn_cu_pop_method-e.py:336-359).  PASS = |mean "
-        "difference| within 2x the pooled cross-seed std (sampled 1+99 "
-        "evaluation is high-variance by design, SURVEY.md paragraph 6).",
+        "difference| <= tol, tol = max(2x pooled cross-seed std, 0.01 "
+        "absolute, 1% of the oracle mean).  The 0.01 absolute floor is "
+        "justified for THIS table only: sampled 1+99 evaluation is "
+        "high-variance by design (SURVEY.md paragraph 6) and 0.01 is well "
+        "inside its seed-to-seed spread.  The full-catalog fast-mode table "
+        "below deliberately drops that floor.",
         "",
-        "| Config | Metric | Oracle (mean +/- std, n) | Framework (mean +/- std, n) | diff | tol(2x pooled std) | verdict |",
+        "| Config | Metric | Oracle (mean +/- std, n) | Framework (mean +/- std, n) | diff | tol | verdict |",
         "|---|---|---|---|---|---|---|",
     ]
     worst = []
@@ -191,9 +195,10 @@ def cmd_report(args):
                 continue
             diff = f[0] - o[0]
             pooled = (o[1] ** 2 + f[1] ** 2) ** 0.5
-            # avg_self_information / avg_log_popularity live on a different
-            # scale (~17.7 / ~1.1 in the reference run); tolerance stays
-            # 2x pooled std with a floor proportional to the value.
+            # Sampled-protocol tolerance: 2x pooled std with a 0.01
+            # absolute floor (defended above — sampled 1+99 eval only) and
+            # a 1%-relative floor for metrics on other scales
+            # (avg_self_information ~17.7, avg_log_popularity ~1.1).
             tol = max(2 * pooled, 0.01, 0.01 * abs(o[0]))
             verdict = "PASS" if abs(diff) <= tol else "FAIL"
             worst.append((config, metric, diff, tol, verdict))
@@ -232,9 +237,19 @@ def cmd_report(args):
             "`spmm_precision=bf16 propagation_schedule=per_epoch "
             "eval_topk=approx eval_score_dtype=bf16`.",
             "",
+            "Tolerance rule (full-catalog eval is low-variance, so the "
+            "sampled table's 0.01 absolute floor does NOT apply here): "
+            "tol = max(2x pooled cross-seed std, 1% of the oracle mean).  "
+            "**Measured systematic cost of the throughput flags:** the "
+            "fast arm sits ~0.002 BELOW the exact oracle on R@20 for "
+            "vanilla and pop_neg (~0.6% relative; cu_message is within "
+            "noise) — a real, stated bias of the bf16/per_epoch/approx "
+            "stack, accepted under the 1%-relative criterion rather than "
+            "laundered through an absolute floor (VERDICT r4 item 2).",
+            "",
             "| Config | Metric | Oracle full/exact (mean +/- std, n) | "
-            "Framework fast (mean +/- std, n) | diff | tol(2x pooled std) "
-            "| verdict |",
+            "Framework fast (mean +/- std, n) | diff | tol(max(2x pooled "
+            "std, 1% rel)) | verdict |",
             "|---|---|---|---|---|---|---|",
         ]
         for config in ("vanilla", "cu_message", "pop_neg"):
@@ -247,7 +262,8 @@ def cmd_report(args):
                     continue
                 diff = f[0] - o[0]
                 pooled = (o[1] ** 2 + f[1] ** 2) ** 0.5
-                tol = max(2 * pooled, 0.01, 0.01 * abs(o[0]))
+                # full-catalog rows: NO absolute floor (VERDICT r4 item 2)
+                tol = max(2 * pooled, 0.01 * abs(o[0]))
                 verdict = "PASS" if abs(diff) <= tol else "FAIL"
                 lines.append(
                     f"| {config} | {metric}@20 | {o[0]:.4f} +/- {o[1]:.4f} "

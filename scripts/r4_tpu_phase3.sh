@@ -18,7 +18,7 @@ for seed in 0 1 2; do
     echo "=== framework_fast $config seed $seed $(date +%T) ==="
     timeout 1800 python scripts/parity_run.py framework \
       --graph runs/parity/graph.npz --config $config --seed $seed \
-      --fast --platform default \
+      --fast --platform tpu \
       --out runs/parity/framework_fast.jsonl || echo "FAILED $config s$seed rc=$?"
   done
 done

@@ -104,4 +104,31 @@ np.add.at(dense, m_iu.dst,
 err = float(np.max(np.abs(np.asarray(y_local, np.float64) - dense)))
 assert err < 1e-4, err
 
-print(f"[mp OK] pid={pid} loss={loss:.6f} spmm_err={err:.2e}", flush=True)
+# --- the REAL trainer across the process boundary (VERDICT r4 item 5) ----
+# Short RecTrainer.fit with the flagship combination: scanned epochs,
+# epoch-hoisted popmix sampling, per_epoch cached propagation, full-catalog
+# eval through the distributed top-k with the scaled_10m fast flags — all
+# over the 2-process mesh, so the epoch scan's collectives, the eval
+# merge, and the host-side metric accumulation (_Accumulator) genuinely
+# run multi-controller.
+from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
+    RecTrainer)
+
+fit_cfg = RecConfig(name="mp_fit", propagation="gauss_seidel",
+                    weight_mode="cu_message", table_layout="split",
+                    negative_sampler="popmix", lambda_fair=0.1,
+                    emb_dim=32, num_layers=2, batch_size=64, epochs=2,
+                    eval_every=1, eval_mode="full", seed=0,
+                    propagation_schedule="per_epoch",
+                    eval_topk="approx", eval_score_dtype="bf16",
+                    spmm_backend="xla")
+trainer = RecTrainer(fit_cfg, graph, cred=cred, verbose=False, mesh=mesh)
+fit = trainer.fit()
+fit_losses = ",".join(f"{e.loss:.6f}" for e in fit.history)
+r20 = fit.test_metrics[20]["recall"]
+n20 = fit.test_metrics[20]["ndcg"]
+assert all(np.isfinite(e.loss) for e in fit.history)
+
+print(f"[mp OK] pid={pid} loss={loss:.6f} spmm_err={err:.2e} "
+      f"fit_losses={fit_losses} testR20={r20:.6f} testN20={n20:.6f}",
+      flush=True)

@@ -8,8 +8,12 @@ shard_map SpMM over a mesh that spans both processes, so every all-gather
 / psum / all-to-all genuinely crosses a process boundary.
 
 The workers (tests/mp_worker.py) assert loss finiteness and SpMM
-correctness vs a dense oracle internally; this test checks both exit
-cleanly and report IDENTICAL losses (single-controller semantics)."""
+correctness vs a dense oracle internally, then run a short
+``RecTrainer.fit`` (2 scanned epochs, per_epoch cached propagation,
+popmix sampling, full-catalog eval through the distributed top-k with the
+approx/bf16 fast flags) over the same cross-process mesh (VERDICT r4
+item 5).  This test checks both exit cleanly and report IDENTICAL losses,
+per-epoch fit losses, and test metrics (single-controller semantics)."""
 
 import re
 import socket
@@ -54,9 +58,13 @@ def test_two_process_mesh_train_and_spmm():
 
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
-    losses = []
+    reports = []
     for out in outs:
-        m = re.search(r"\[mp OK\] pid=\d+ loss=([-\d.]+) spmm_err", out)
+        m = re.search(r"\[mp OK\] pid=\d+ (loss=[-\d.]+) spmm_err=\S+ "
+                      r"(fit_losses=[-\d.,]+ testR20=[-\d.]+ "
+                      r"testN20=[-\d.]+)", out)
         assert m, f"missing OK marker:\n{out[-3000:]}"
-        losses.append(float(m.group(1)))
-    assert losses[0] == losses[1], losses
+        reports.append((m.group(1), m.group(2)))
+    # bit-identical step loss, per-epoch fit losses, and test metrics on
+    # both controllers
+    assert reports[0] == reports[1], reports
