@@ -192,8 +192,9 @@ def time_step(step, params, opt_state, iters: int, warmup: int = 3):
 
 def bench_northstar(iters: int = 3):
     """The 10M-edge north-star operating point (VERDICT r4 item 6): the
-    scaled_10m preset AS SHIPPED (bf16 messages, per_epoch cached
-    propagation) on the planted 10M-edge graph.  Returns a dict for a
+    scaled_10m preset AS SHIPPED (fp32 messages per the round-5 A/B —
+    see configs/presets.py — with per_epoch cached propagation) on the
+    planted 10M-edge graph.  Returns a dict for a
     second JSON line so BENCH_r*.json's tail records the operating point
     every round instead of round-1 SUMMARY prose.
 

@@ -83,12 +83,19 @@ scaled_10m = _register(RecConfig(
     emb_dim=128, num_layers=4, batch_size=8192, epochs=50,
     eval_mode="full", propagation_schedule="per_epoch",
     spmm_backend="auto",
-    # bf16 message stream (fp32 accumulation) is part of the shipped
-    # flagship: the fast-mode parity column (docs/QUALITY_PARITY.md,
-    # 6/6 PASS vs the exact-fp32 torch oracle) was run under exactly
-    # these flags to justify it, and the scaling projection's collective
-    # volumes assume 2-byte rows (docs/SCALING.md).  VERDICT r4 item 1.
-    spmm_precision="bf16",
+    # Message precision: fp32, decided by a same-day A/B at THIS
+    # operating point (round 5, runs/scaling_terms{_bf16,_fp32}.json):
+    # full training epoch 2.962 s fp32 vs 2.960 s bf16 (tie), standalone
+    # K=4 propagate 0.578 s fp32 vs 0.682 s bf16 (bf16 18% SLOWER at
+    # D=128 — the windowed one-hot MXU pass dominates here, not the
+    # gather bytes bf16 halves; at the reference scale D=64 per_batch
+    # bf16 is a measured 1.33x WIN and stays the recommended fast mode,
+    # docs/PRECISION.md).  fp32 buys exact parity arithmetic at zero
+    # epoch cost, so it ships.  The scaling projection reads this field
+    # (scripts/scaling_projection.py:preset_constants) so its collective
+    # bytes can never silently diverge from the preset again
+    # (VERDICT r4 item 1).
+    spmm_precision="fp32",
     # approx_max_k + bf16 score eval: metrics identical to the exact fp32
     # protocol to all printed digits at this scale, 2.96x faster end to
     # end (756.7 -> 255.3 s/12-epoch protocol, runs/SUMMARY.md round 3).

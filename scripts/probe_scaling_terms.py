@@ -16,6 +16,7 @@ Usage:  python scripts/probe_scaling_terms.py     (TPU, one at a time)
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -44,12 +45,23 @@ def main():
     from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.train.trainer import (
         RecTrainer)
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spmm-precision", default="preset",
+                    choices=["preset", "fp32", "bf16"],
+                    help="override the preset's message precision for a "
+                         "same-day A/B of the terms (round-5 precision "
+                         "decision)")
+    ap.add_argument("--out", default="runs/scaling_terms.json")
+    args = ap.parse_args()
+
     print("device:", jax.devices()[0], file=sys.stderr)
     graph = synthetic_bipartite_graph_planted(
         500_000, 1_000_000, 20.0, seed=0, power=1.0,
         coarse_clusters=16, fine_per_coarse=16, mix=(0.55, 0.25, 0.20))
     print(f"graph: {graph.summary()}", file=sys.stderr)
-    cfg = get_preset("scaled_10m", epochs=2, seed=0)
+    overrides = {} if args.spmm_precision == "preset" else {
+        "spmm_precision": args.spmm_precision}
+    cfg = get_preset("scaled_10m", epochs=2, seed=0, **overrides)
     tr = RecTrainer(cfg, graph, verbose=False)
     params, opt_state, key = tr.init_state()
     bundle = tr.train_state_bundle()
@@ -81,9 +93,12 @@ def main():
            "scan_steps_s": max(t_epoch - t_prop, 0.0),
            "eval_epoch_s": t_eval, "fixed_s": 0.0,
            "device": str(jax.devices()[0]),
-           "config": "scaled_10m(planted 10M, bf16 messages, per_epoch)"}
+           # label from the ACTUAL config, not a hard-coded string
+           # (VERDICT r4 item 1)
+           "config": f"scaled_10m(planted 10M, {cfg.spmm_precision} "
+                     f"messages, {cfg.propagation_schedule})"}
     Path("runs").mkdir(exist_ok=True)
-    Path("runs/scaling_terms.json").write_text(json.dumps(out, indent=2))
+    Path(args.out).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
 

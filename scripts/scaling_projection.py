@@ -60,9 +60,20 @@ HBM_GBPS = 819.0          # HBM bandwidth per chip
 # bisection along one axis — model an effective 90 GB/s/chip for P<=4 (one
 # ring, both directions) and 180 GB/s at P=8 (2x4 torus, two axes usable).
 ICI_GBPS = {2: 90.0, 4: 90.0, 8: 180.0}
-D = 128                    # scaled_10m emb dim
-BYTES = 2                  # bf16 message stream (preset default)
-K_LAYERS = 4
+
+
+def preset_constants():
+    """D / message bytes / K from the scaled_10m preset AS SHIPPED — the
+    projection can no longer silently assume a precision the preset does
+    not set (VERDICT r4 item 1)."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.configs.presets import (
+        get_preset)
+    cfg = get_preset("scaled_10m")
+    return (cfg.emb_dim, 2 if cfg.spmm_precision == "bf16" else 4,
+            cfg.num_layers, cfg.spmm_precision)
+
+
+D, BYTES, K_LAYERS, MSG_PRECISION = preset_constants()
 
 
 def build_graph():
@@ -135,9 +146,18 @@ def main():
     # only (the per_epoch cache is under stop_gradient)
     n_apps_per_dir = K_LAYERS
 
+    # refuse to mix precisions: the measured terms must come from the same
+    # message precision the preset ships (and whose bytes V uses)
+    terms_cfg = terms.get("config", "")
+    assert f"{MSG_PRECISION} messages" in terms_cfg, (
+        f"terms were measured under a different precision than the shipped "
+        f"preset ({MSG_PRECISION}): {terms_cfg!r} — re-run "
+        f"scripts/probe_scaling_terms.py")
+
     report = {"assumptions": {
         "HBM_GBps": HBM_GBPS, "ICI_GBps_per_chip": ICI_GBPS,
         "emb_dim": D, "message_bytes": BYTES, "layers": K_LAYERS,
+        "message_precision": MSG_PRECISION,
         "graph": {"users": graph.num_users, "items": graph.num_items,
                   "train_edges": int(E)},
         "terms_measured": terms,
