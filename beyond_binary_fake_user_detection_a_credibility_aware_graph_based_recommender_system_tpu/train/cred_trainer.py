@@ -120,15 +120,25 @@ class CredTrainer:
 
     # ------------------------------------------------------------------
     def _loss(self, params: Params, seed_users: jax.Array, mask: jax.Array,
-              key: Optional[jax.Array] = None, mstate=None):
+              key: Optional[jax.Array] = None, mstate=None, slas_data=None,
+              user_y=None):
+        # slas_data/user_y are threaded as explicit jit arguments rather
+        # than read off ``self``: closure-captured device arrays are
+        # embedded in the HLO as constants, and at the 10M north star the
+        # (U,P)/(I,P) SLAS tables are ~1.5 GB — large enough to overflow
+        # the compile request (observed: HTTP 413 from remote_compile).
         cfg = self.cfg
+        if user_y is None:
+            user_y = self.user_y
         if cfg.trainer_mode == "slas":
-            return self._loss_slas(params, seed_users, mask, key)
+            return self._loss_slas(params, seed_users, mask, key,
+                                   self.slas_data if slas_data is None
+                                   else slas_data, user_y)
         pred1, h_u2_1, h_i1_1 = self.model.forward(params, "early", mstate)
         v1 = (mstate or self.model.state)["early"]
         _, h_u2_2, _ = self.model.forward(params, "late", mstate)
 
-        y = self.user_y[seed_users]
+        y = user_y[seed_users]
         keep = (y >= 0) & mask
         loss_sup = losses.masked_bce(pred1[seed_users],
                                      y.astype(jnp.float32), keep)
@@ -144,7 +154,7 @@ class CredTrainer:
                 + cfg.lambda_cont * loss_cont)
 
     def _loss_slas(self, params: Params, seeds: jax.Array, mask: jax.Array,
-                   key: jax.Array):
+                   key: jax.Array, data, user_y):
         """Sampled-neighborhood loss: same three terms over the SLAS
         fixed-shape subgraph (reference main.py:913-958 semantics with the
         sampling moved on-device; see models/cred_slas.py)."""
@@ -152,13 +162,13 @@ class CredTrainer:
         cfg = self.cfg
         k1, k2 = jax.random.split(key)
         pred1, h_u2_1, h_i1_1, (w_norm, item_mask) = slas_forward(
-            params, self.slas_data, seeds, k1, "early",
+            params, data, seeds, k1, "early",
             cfg.k_item_neigh, cfg.k_user_neigh)
         _, h_u2_2, _, _ = slas_forward(
-            params, self.slas_data, seeds, k2, "late",
+            params, data, seeds, k2, "late",
             cfg.k_item_neigh, cfg.k_user_neigh)
 
-        y = self.user_y[seeds]
+        y = user_y[seeds]
         keep = (y >= 0) & mask
         loss_sup = losses.masked_bce(pred1, y.astype(jnp.float32), keep)
 
@@ -185,7 +195,7 @@ class CredTrainer:
         n_pad = nb * B
         train_users_dev = jnp.asarray(self.train_users, jnp.int32)
 
-        def epoch_fn(params, opt_state, key, mstate):
+        def epoch_fn(params, opt_state, key, mstate, slas_data, user_y):
             kperm, key = jax.random.split(key)
             perm = jax.random.permutation(kperm, train_users_dev)
             pad = jnp.zeros((n_pad - n,), jnp.int32)
@@ -196,8 +206,8 @@ class CredTrainer:
                 params, opt_state, skey = carry
                 users, mask = batch
                 skey, ks = jax.random.split(skey)
-                loss, grads = jax.value_and_grad(self._loss)(params, users,
-                                                             mask, ks, mstate)
+                loss, grads = jax.value_and_grad(self._loss)(
+                    params, users, mask, ks, mstate, slas_data, user_y)
                 updates, opt_state = self.optimizer.update(grads, opt_state,
                                                            params)
                 params = optax.apply_updates(params, updates)
@@ -271,7 +281,8 @@ class CredTrainer:
         for ep in range(start_epoch, epochs + 1):
             t0 = time.perf_counter()
             params, opt_state, key, loss = self._epoch_fn(
-                params, opt_state, key, self._model_state)
+                params, opt_state, key, self._model_state, self.slas_data,
+                self.user_y)
             loss = float(loss)
             hm = self.holdout_metrics(params)
             history.append({"epoch": ep, "loss": loss,
@@ -310,9 +321,10 @@ class CredTrainer:
         B = min(cfg.batch_size, max(users.size, 1))
 
         if self._slas_batch_fn is None:
+            # data as an argument, not a closure constant — see _loss.
             @functools.partial(jax.jit, static_argnames=("view",))
-            def batch_fn(params, seeds, key, view=None):
-                cred, _, _, _ = slas_forward(params, self.slas_data, seeds,
+            def batch_fn(params, data, seeds, key, view=None):
+                cred, _, _, _ = slas_forward(params, data, seeds,
                                              key, view, cfg.k_item_neigh,
                                              cfg.k_user_neigh)
                 return cred
@@ -325,7 +337,8 @@ class CredTrainer:
             pad = np.zeros(B - n, np.int64)
             key, kb = jax.random.split(key)
             cred = self._slas_batch_fn(
-                params, jnp.asarray(np.concatenate([seeds, pad]), jnp.int32),
+                params, self.slas_data,
+                jnp.asarray(np.concatenate([seeds, pad]), jnp.int32),
                 kb, view=view)
             out[s:s + n] = np.asarray(cred)[:n]
         return out

@@ -14,10 +14,10 @@ with graph size.  This script closes it on the real chip:
     ops/slas.py:SlasSampler.build) and records s/epoch, peak HBM, holdout
     AUC; scores are min-max exported to the CSV contract.
 
-  Phase B — ``RecTrainer`` under the scaled_10m preset AS SHIPPED (bf16
-    messages, per_epoch cached propagation, approx/bf16 full-catalog
-    eval) consumes that CSV on the SAME planted split graph — the
-    end-to-end two-stage story at 10M scale (was 600K,
+  Phase B — ``RecTrainer`` under the scaled_10m preset AS SHIPPED (fp32
+    messages per the round-5 A/B, per_epoch cached propagation,
+    approx/bf16 full-catalog eval) consumes that CSV on the SAME planted
+    split graph — the end-to-end two-stage story at 10M scale (was 600K,
     runs/two_stage_r2/).
 
 Usage (TPU, one job at a time):
@@ -165,7 +165,7 @@ def main():
         summary.setdefault("stage_a", {"csv": str(csv_path),
                                        "note": "reused (--skip-a)"})
         summary["stage_b"] = {
-            "preset": "scaled_10m (as shipped: bf16 messages, per_epoch, "
+            "preset": "scaled_10m (as shipped: fp32 messages, per_epoch, "
                       "approx/bf16 full eval)",
             "epochs": args.rec_epochs,
             "wall_seconds": round(wall_b, 1),
