@@ -85,13 +85,13 @@ scaled_10m = _register(RecConfig(
     spmm_backend="auto",
     # Message precision: fp32, decided by a same-day A/B at THIS
     # operating point (round 5, runs/scaling_terms{_bf16,_fp32}.json):
-    # full training epoch 2.962 s fp32 vs 2.960 s bf16 (tie), standalone
-    # K=4 propagate 0.578 s fp32 vs 0.682 s bf16 (bf16 18% SLOWER at
+    # full training epoch 2.099 s fp32 vs 2.166 s bf16, standalone
+    # K=4 propagate 0.402 s fp32 vs 0.470 s bf16 (bf16 17% SLOWER at
     # D=128 — the windowed one-hot MXU pass dominates here, not the
     # gather bytes bf16 halves; at the reference scale D=64 per_batch
     # bf16 is a measured 1.33x WIN and stays the recommended fast mode,
-    # docs/PRECISION.md).  fp32 buys exact parity arithmetic at zero
-    # epoch cost, so it ships.  The scaling projection reads this field
+    # docs/PRECISION.md).  fp32 buys exact parity arithmetic AND the
+    # faster epoch, so it ships.  The scaling projection reads this field
     # (scripts/scaling_projection.py:preset_constants) so its collective
     # bytes can never silently diverge from the preset again
     # (VERDICT r4 item 1).

@@ -29,7 +29,12 @@ import numpy as np
 
 
 def timed(fn, n=3):
-    fn()                                  # compile + warm
+    # block on the warm call: dispatch is async, so without this the warm
+    # execution's tail leaks into the timed window and inflates every term
+    # by up to 1/n (measured: 0.58 s vs the true 0.40 s propagate — the
+    # round-4/5 scaling terms carried exactly this bias, runs/SUMMARY.md
+    # round-5 correction)
+    jax.block_until_ready(fn())           # compile + warm
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()

@@ -339,3 +339,42 @@ def test_scaled_heterograph_and_slas_pad_cap():
     res = tr.fit()
     assert np.isfinite(res.cred_minmax).all()
     assert res.cred_minmax.shape == (g.num_users,)
+
+
+def test_slas_epoch_fn_does_not_embed_tables_as_hlo_constants():
+    """Regression for the 10M-scale compile failure (runs/two_stage_10m):
+    closure-captured SLAS candidate tables were inlined into the HLO as
+    constants, overflowing the compile transport (HTTP 413) at north-star
+    scale.  slas_data/user_y must be threaded as jit ARGUMENTS, so the
+    lowered program size stays independent of the table payload."""
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.build import (
+        synthetic_bipartite_graph_planted)
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.graph.hetero import (
+        synthetic_heterograph_from_edges)
+    g = synthetic_bipartite_graph_planted(4_000, 6_000, 8.0, seed=5,
+                                          coarse_clusters=4,
+                                          fine_per_coarse=4)
+    edges = np.concatenate([g.train_edges, g.val_edges, g.test_edges],
+                           axis=1)
+    hg2 = synthetic_heterograph_from_edges(edges, g.num_users, g.num_items,
+                                           seed=1)
+    cfg = CredConfig(epochs=1, batch_size=256, slas_pad_deg=32,
+                     k_item_neigh=5, k_user_neigh=5)
+    tr = CredTrainer(hg2, cfg, verbose=False)
+    table_bytes = sum(
+        np.prod(a.shape) * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(tr.slas_data))
+    assert table_bytes > 2_000_000  # the trap needs a payload worth catching
+
+    params, opt_state, key = (tr._init_params(jax.random.PRNGKey(0)),
+                              tr.optimizer.init(
+                                  tr._init_params(jax.random.PRNGKey(0))),
+                              jax.random.PRNGKey(1))
+    epoch_fn = tr._build_epoch_fn()
+    hlo = epoch_fn.lower(params, opt_state, key, None, tr.slas_data,
+                         tr.user_y).as_text()
+    # Embedded tables would put megabytes of literal bytes into the text;
+    # as arguments the program is a few hundred KB regardless of scale.
+    assert len(hlo) < table_bytes / 2, (
+        f"lowered HLO is {len(hlo):,} chars vs {table_bytes:,} table bytes "
+        "— SLAS tables are being inlined as constants again")
