@@ -107,6 +107,16 @@ scaled_10m = _register(RecConfig(
     # (parallel/sharded_topk.py).
     eval_topk="approx",
     eval_score_dtype="bf16",
+    # eval_batch stays at the 512 default.  Raising it to 4096 measures
+    # 3x faster (13.5 -> 4.4 s/eval) but the speed is a mirage: XLA's
+    # approx_top_k candidate buffer no longer fits the 16 MB scoped VMEM
+    # at (4096, 1M), and instead of failing the bf16 path silently
+    # shrinks the reduction — top-20 Jaccard vs the 512-batch result
+    # collapses to 0.25 and planted-graph R@20 drops 0.080 -> 0.057
+    # (fp32 at the same shape refuses to compile with a scoped-vmem
+    # error, which is how the mechanism was confirmed).  evaluate_full
+    # warns if approx is combined with batch > 1024; see
+    # RecConfig.eval_batch and runs/SUMMARY.md round 5.
 ))
 
 

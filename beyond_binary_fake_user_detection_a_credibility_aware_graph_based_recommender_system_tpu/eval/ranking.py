@@ -330,6 +330,20 @@ def evaluate_full(user_emb: jax.Array, item_emb: jax.Array, ctx: EvalContext,
         np.nonzero(ctx.graph.user_csr(split).degrees() > 0)[0]
     if users.size == 0:
         raise RuntimeError(f"No users with {split} interactions.")
+    # clamp large configured batches (RecConfig.eval_batch) on small
+    # graphs: padding 100 eval users to 4096 would pay a (4096, I) score
+    # matrix for nothing
+    batch = min(batch, 1 << max(int(users.size - 1).bit_length(), 0))
+    if topk == "approx" and batch > 1024 and ctx.graph.num_items > 100_000:
+        # approx_top_k's candidate buffer is scoped-VMEM-bound; past the
+        # limit the bf16 path silently shrinks its reduction (measured
+        # recall collapse at (4096, 1M) — RecConfig.eval_batch docstring)
+        import warnings
+        warnings.warn(
+            f"eval_topk='approx' with batch={batch} at "
+            f"{ctx.graph.num_items:,} items risks silent approx_top_k "
+            "recall degradation (scoped-VMEM limit); use batch<=1024 or "
+            "eval_topk='exact'", stacklevel=2)
     eval_csr = ctx.split_csr(split)
     acc = _Accumulator(Ks, extended, num_items=ctx.graph.num_items)
     for bu, bu_host, n_valid in _batched(users, batch):

@@ -331,7 +331,8 @@ class RecTrainer:
         user_emb, item_emb = self._propagate_fn(params, self.model.state)
         if cfg.eval_mode == "full":
             return evaluate_full(user_emb, item_emb, self.ctx, split,
-                                 Ks=cfg.Ks, extended=extended, cred=self.cred,
+                                 Ks=cfg.Ks, batch=cfg.eval_batch,
+                                 extended=extended, cred=self.cred,
                                  cred_group_pct=cfg.cred_group_pct,
                                  mesh=self.mesh, topk=cfg.eval_topk,
                                  score_dtype=cfg.eval_score_dtype)

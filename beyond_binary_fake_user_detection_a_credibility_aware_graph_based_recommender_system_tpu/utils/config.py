@@ -156,6 +156,19 @@ class RecConfig(ConfigBase):
     # full-catalog score matmul + ranking dtype: "bf16" halves score-matrix
     # bandwidth (single-chip path only; measured quality in runs/SUMMARY.md)
     eval_score_dtype: str = "fp32"
+    # users per full-catalog eval batch.  Metrics are batch-invariant on
+    # the exact path (the last chunk is padded + masked; tested).
+    # DO NOT raise this past ~1024 with eval_topk="approx" at million-item
+    # catalogs: XLA approx_top_k's per-call candidate buffer is bound by
+    # the 16 MB scoped VMEM, and once (batch, reduction) no longer fits,
+    # the bf16 path silently SHRINKS the reduction instead of failing —
+    # measured at (4096, 1M items): top-20 Jaccard vs the 512-batch
+    # result collapses to 0.25 and planted-graph R@20 drops 0.080->0.057
+    # while running "3x faster"; the fp32 path at the same shape refuses
+    # to compile with a scoped-vmem error, confirming the mechanism
+    # (runs/SUMMARY.md round 5).  evaluate_full warns on the risky
+    # combination and clamps the batch on small graphs.
+    eval_batch: int = 512
     sampled_negatives: int = 99
     extended_metrics: bool = False    # coverage/novelty/cred-utility/group recall
     cred_group_pct: float = 0.20

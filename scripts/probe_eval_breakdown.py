@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--batches", type=int, default=6)
     ap.add_argument("--scale", default="large")
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--topk", default="exact", choices=["exact", "approx"])
+    ap.add_argument("--score-dtype", default="fp32",
+                    choices=["fp32", "bf16"])
     args = ap.parse_args()
 
     import jax
@@ -63,7 +66,8 @@ def main():
         t2 = time.perf_counter()
         out = _full_batch(user_emb, item_emb, bu, excl, ctx.split_csr("val"),
                           ctx.item_pop_dev, (10, 20), False,
-                          ctx.total_train, graph.num_items)
+                          ctx.total_train, graph.num_items,
+                          topk=args.topk, score_dtype=args.score_dtype)
         jax.block_until_ready(out)
         t3 = time.perf_counter()
         if bi == 0:   # skip compile batch in the averages

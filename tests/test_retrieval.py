@@ -105,3 +105,30 @@ def test_full_eval_approx_topk_matches_exact_on_cpu(small_graph):
     for K in (5, 10):
         for m in ("precision", "recall", "ndcg"):
             assert abs(exact[K][m] - approx[K][m]) < 1e-9, (K, m)
+
+
+def test_full_eval_batch_invariance(small_graph):
+    """Full-catalog metrics must not depend on the eval batch size on the
+    exact path (the last chunk is padded + masked).  Also covers the
+    clamp: batch=4096 on a 120-user graph must not allocate a (4096, I)
+    score matrix.  NOTE this CPU test cannot certify the TPU approx path
+    at large batches — XLA approx_top_k silently degrades there
+    (RecConfig.eval_batch docstring; evaluate_full warns)."""
+    import jax.numpy as jnp
+    from beyond_binary_fake_user_detection_a_credibility_aware_graph_based_recommender_system_tpu.eval.ranking import (
+        EvalContext, evaluate_full)
+
+    ctx = EvalContext.build(small_graph)
+    rng = np.random.default_rng(1)
+    ue = jnp.asarray(rng.normal(size=(small_graph.num_users, 16)) * 0.2,
+                     jnp.float32)
+    ie = jnp.asarray(rng.normal(size=(small_graph.num_items, 16)) * 0.2,
+                     jnp.float32)
+    ref = evaluate_full(ue, ie, ctx, "test", Ks=(5, 10), batch=8)
+    for B in (32, 64, 4096):
+        got = evaluate_full(ue, ie, ctx, "test", Ks=(5, 10), batch=B)
+        for K in (5, 10):
+            for m in ("precision", "recall", "ndcg"):
+                # 1e-6: float32 per-batch sums accumulate in a
+                # different order per batch size
+                assert abs(ref[K][m] - got[K][m]) < 1e-6, (B, K, m)
